@@ -1,0 +1,374 @@
+"""Fused multi-head attention for TPU.
+
+One kernel family replaces every native attention dependency of the
+reference (see /root/reference SURVEY: xformers ``memory_efficient_attention``
+in src/models_clm/modeling_llama_xformer.py:281-295, flash-attn-2 in
+modeling_llama_4_35.py:423-618, torch SDPA in
+src/models_ipa/attention_processor.py):
+
+  * training causal mask        -> ``causal=True`` (q_start = Skv - Sq)
+  * bottom-right decode mask    -> ``causal=True`` + per-row ``q_start``
+    (the reference's LowerTriangularFromBottomRightMask: new queries align
+    bottom-right against a longer KV)
+  * full (ViT / perceiver / UNet cross-attn) -> ``causal=False``
+  * padded KV caches            -> per-row ``kv_len``
+
+Masking rule for query row ``i`` (0-based within this call) and key ``j``:
+
+  visible(b, i, j) = (j < kv_len[b]) and (not causal or j <= q_start[b] + i)
+
+Defaults ``q_start = Skv - Sq`` and ``kv_len = Skv`` make ``causal=True``
+the standard causal mask when Sq == Skv.
+
+Implementation: a Pallas flash-attention (online softmax) forward kernel on
+TPU, with a jnp reference used (a) on CPU, (b) for the backward pass via
+``jax.custom_vjp`` recomputation. GQA is supported by indexing KV heads
+inside the BlockSpec index map — KV is never materialised repeated.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+DEFAULT_MASK_VALUE = -0.7 * float(np.finfo(np.float32).max)
+
+
+def _normalize_lens(b, sq, skv, q_start, kv_len):
+    if q_start is None:
+        q_start = jnp.full((b,), skv - sq, dtype=jnp.int32)
+    else:
+        q_start = jnp.broadcast_to(jnp.asarray(q_start, jnp.int32), (b,))
+    if kv_len is None:
+        kv_len = jnp.full((b,), skv, dtype=jnp.int32)
+    else:
+        kv_len = jnp.broadcast_to(jnp.asarray(kv_len, jnp.int32), (b,))
+    return q_start, kv_len
+
+
+# ---------------------------------------------------------------------------
+# Reference (XLA) implementation — ground truth + backward + CPU path.
+# ---------------------------------------------------------------------------
+
+
+def mha_reference(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    causal: bool = True,
+    q_start: Optional[jax.Array] = None,
+    kv_len: Optional[jax.Array] = None,
+    scale: Optional[float] = None,
+) -> jax.Array:
+    """O(S^2)-memory attention in plain XLA. Shapes:
+
+    q: (B, Hq, Sq, D); k, v: (B, Hkv, Skv, D) with Hq % Hkv == 0.
+    Returns (B, Hq, Sq, D) in q.dtype.
+    """
+    b, hq, sq, d = q.shape
+    _, hkv, skv, _ = k.shape
+    assert hq % hkv == 0, (hq, hkv)
+    group = hq // hkv
+    if scale is None:
+        scale = 1.0 / float(np.sqrt(d))
+    q_start, kv_len = _normalize_lens(b, sq, skv, q_start, kv_len)
+
+    qf = q.astype(jnp.float32) * scale
+    kf = k.astype(jnp.float32)
+    vf = v.astype(jnp.float32)
+    if group > 1:
+        kf = jnp.repeat(kf, group, axis=1)
+        vf = jnp.repeat(vf, group, axis=1)
+
+    logits = jnp.einsum("bhqd,bhkd->bhqk", qf, kf)
+    jpos = jnp.arange(skv)[None, None, None, :]
+    mask = jpos < kv_len[:, None, None, None]
+    if causal:
+        ipos = jnp.arange(sq)[None, None, :, None]
+        mask = mask & (jpos <= q_start[:, None, None, None] + ipos)
+    logits = jnp.where(mask, logits, DEFAULT_MASK_VALUE)
+    probs = jax.nn.softmax(logits, axis=-1)
+    # Rows with no visible key are defined to output exactly 0.
+    probs = jnp.where(mask.any(axis=-1, keepdims=True), probs, 0.0)
+    out = jnp.einsum("bhqk,bhkd->bhqd", probs, vf)
+    return out.astype(q.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Pallas TPU kernel (forward).
+# ---------------------------------------------------------------------------
+
+
+def _flash_fwd_kernel(
+    # scalar prefetch
+    q_start_ref,
+    kv_len_ref,
+    # inputs
+    q_ref,
+    k_ref,
+    v_ref,
+    # outputs
+    o_ref,
+    # scratch
+    m_ref,
+    l_ref,
+    acc_ref,
+    *,
+    scale: float,
+    causal: bool,
+    block_q: int,
+    block_kv: int,
+    sq: int,
+    skv: int,
+):
+    b = pl.program_id(0)
+    iq = pl.program_id(2)
+    ik = pl.program_id(3)
+    nk = pl.num_programs(3)
+
+    @pl.when(ik == 0)
+    def _init():
+        m_ref[:] = jnp.full_like(m_ref, -jnp.inf)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    q_start = q_start_ref[b]
+    kv_len = kv_len_ref[b]
+
+    # Global positions of this tile.
+    q_pos = iq * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 0)
+    k_pos = ik * block_kv + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 1)
+
+    # Whole-block skip: block fully masked out?
+    block_k_min = ik * block_kv
+    block_visible = block_k_min < kv_len
+    if causal:
+        # max query position in tile attends at most q_start + q_max
+        q_max = iq * block_q + block_q - 1
+        block_visible = jnp.logical_and(block_visible, block_k_min <= q_start + q_max)
+
+    @pl.when(block_visible)
+    def _compute():
+        qb = q_ref[0, 0].astype(jnp.float32) * scale
+        kb = k_ref[0, 0].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            qb,
+            kb,
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (block_q, block_kv)
+
+        mask = k_pos < kv_len
+        if causal:
+            mask = jnp.logical_and(mask, k_pos <= q_start + q_pos)
+        # Padded query rows (q_pos >= sq) produce garbage; harmless, sliced off.
+        s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
+
+        m_prev = m_ref[:]  # (block_q, 1)
+        m_cur = jnp.max(s, axis=-1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        p = jnp.exp(s - m_new)
+        p = jnp.where(mask, p, 0.0)  # fully-masked rows stay exactly 0
+        alpha = jnp.exp(m_prev - m_new)
+        l_new = alpha * l_ref[:] + jnp.sum(p, axis=-1, keepdims=True)
+
+        vb = v_ref[0, 0].astype(jnp.float32)
+        pv = jax.lax.dot_general(
+            p,
+            vb,
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc_ref[:] = acc_ref[:] * alpha + pv
+        m_ref[:] = m_new
+        l_ref[:] = l_new
+
+    @pl.when(ik == nk - 1)
+    def _finalize():
+        # Guard against fully-masked rows (l == 0).
+        l = l_ref[:]
+        l = jnp.where(l == 0.0, 1.0, l)
+        o_ref[0, 0] = (acc_ref[:] / l).astype(o_ref.dtype)
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("causal", "scale", "block_q", "block_kv", "interpret"),
+)
+def _flash_fwd(
+    q,
+    k,
+    v,
+    q_start,
+    kv_len,
+    *,
+    causal: bool,
+    scale: float,
+    block_q: int,
+    block_kv: int,
+    interpret: bool,
+):
+    b, hq, sq, d = q.shape
+    _, hkv, skv, _ = k.shape
+    group = hq // hkv
+
+    sq_p = _round_up(sq, block_q)
+    skv_p = _round_up(skv, block_kv)
+    d_p = _round_up(d, 128)
+    if sq_p != sq or d_p != d:
+        q = jnp.pad(q, ((0, 0), (0, 0), (0, sq_p - sq), (0, d_p - d)))
+    if skv_p != skv or d_p != d:
+        k = jnp.pad(k, ((0, 0), (0, 0), (0, skv_p - skv), (0, d_p - d)))
+        v = jnp.pad(v, ((0, 0), (0, 0), (0, skv_p - skv), (0, d_p - d)))
+
+    grid = (b, hq, sq_p // block_q, skv_p // block_kv)
+
+    kernel = functools.partial(
+        _flash_fwd_kernel,
+        scale=scale,
+        causal=causal,
+        block_q=block_q,
+        block_kv=block_kv,
+        sq=sq,
+        skv=skv,
+    )
+
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec(
+                    (1, 1, block_q, d_p), lambda b, h, iq, ik, *_: (b, h, iq, 0)
+                ),
+                pl.BlockSpec(
+                    (1, 1, block_kv, d_p),
+                    lambda b, h, iq, ik, *_, g=group: (b, h // g, ik, 0),
+                ),
+                pl.BlockSpec(
+                    (1, 1, block_kv, d_p),
+                    lambda b, h, iq, ik, *_, g=group: (b, h // g, ik, 0),
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, 1, block_q, d_p), lambda b, h, iq, ik, *_: (b, h, iq, 0)
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((block_q, 1), jnp.float32),
+                pltpu.VMEM((block_q, 1), jnp.float32),
+                pltpu.VMEM((block_q, d_p), jnp.float32),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, hq, sq_p, d_p), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * hq * sq_p * skv_p * d_p,
+            bytes_accessed=(q.size + k.size + v.size) * q.dtype.itemsize,
+            transcendentals=b * hq * sq_p * skv_p,
+        ),
+        interpret=interpret,
+    )(q_start, kv_len, q, k, v)
+
+    if sq_p != sq or d_p != d:
+        out = out[:, :, :sq, :d]
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Public API with custom VJP.
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(
+    jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9)
+)
+def _flash_attention(q, k, v, q_start, kv_len, causal, scale, block_q, block_kv, interpret):
+    return _flash_fwd(
+        q, k, v, q_start, kv_len,
+        causal=causal, scale=scale, block_q=block_q, block_kv=block_kv,
+        interpret=interpret,
+    )
+
+
+def _flash_attention_fwd(q, k, v, q_start, kv_len, causal, scale, block_q, block_kv, interpret):
+    out = _flash_attention(q, k, v, q_start, kv_len, causal, scale, block_q, block_kv, interpret)
+    return out, (q, k, v, q_start, kv_len)
+
+
+def _flash_attention_bwd(causal, scale, block_q, block_kv, interpret, res, g):
+    q, k, v, q_start, kv_len = res
+    # Recompute via the reference implementation; XLA differentiates it.
+    def ref(q, k, v):
+        return mha_reference(
+            q, k, v, causal=causal, q_start=q_start, kv_len=kv_len, scale=scale
+        )
+
+    _, vjp = jax.vjp(ref, q, k, v)
+    dq, dk, dv = vjp(g)
+    return dq, dk, dv, None, None
+
+
+_flash_attention.defvjp(_flash_attention_fwd, _flash_attention_bwd)
+
+
+def mha(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    causal: bool = True,
+    q_start: Optional[jax.Array] = None,
+    kv_len: Optional[jax.Array] = None,
+    scale: Optional[float] = None,
+    block_q: int = 128,
+    block_kv: int = 128,
+    implementation: str = "auto",
+) -> jax.Array:
+    """Multi-head attention. See module docstring for the mask rule.
+
+    implementation: 'auto' (Pallas on TPU, XLA elsewhere), 'pallas',
+    'pallas_interpret', or 'xla'.
+    """
+    b, hq, sq, d = q.shape
+    _, hkv, skv, _ = k.shape
+    if hq % hkv != 0:
+        raise ValueError(f"q heads {hq} not a multiple of kv heads {hkv}")
+    if k.shape != v.shape:
+        raise ValueError(f"k/v shape mismatch: {k.shape} vs {v.shape}")
+    if scale is None:
+        scale = 1.0 / float(np.sqrt(d))
+
+    if implementation == "auto":
+        platform = q.devices().pop().platform if hasattr(q, "devices") else None
+        try:
+            default = jax.default_backend()
+        except Exception:  # pragma: no cover
+            default = "cpu"
+        implementation = "pallas" if (platform or default) == "tpu" else "xla"
+
+    if implementation == "xla":
+        return mha_reference(
+            q, k, v, causal=causal, q_start=q_start, kv_len=kv_len, scale=scale
+        )
+
+    q_start_a, kv_len_a = _normalize_lens(b, sq, skv, q_start, kv_len)
+    interpret = implementation == "pallas_interpret"
+    return _flash_attention(
+        q, k, v, q_start_a, kv_len_a, causal, float(scale),
+        min(block_q, _round_up(sq, 128)), min(block_kv, _round_up(skv, 128)),
+        interpret,
+    )
