@@ -1,0 +1,204 @@
+"""Host-side data pipeline: jsonl shards -> shuffled, host-sharded,
+decoded, statically-batched numpy batches.
+
+Replaces the reference's torchdata chain (story_telling.py:596-613:
+FileLister -> shuffle -> cycle -> shuffle -> sharding_filter -> open ->
+parse_jsonl_files -> map -> filter -> batch -> collate) and the custom
+error-swallowing datapipes (/root/reference/src/data/datapipes.py) with a
+plain, deterministic Python iterator stack:
+
+  * seeded shuffles (the reference's resume re-shuffles unseeded —
+    SURVEY §5.4 — we fix that: the pipeline state is (seed, epoch, step))
+  * per-host sharding (jax process_index/process_count ≡
+    DistributedReadingService + sharding_filter)
+  * worker THREADS for PIL decode (a C++ decode path can slot in later)
+  * weighted multi-dataset mixing ≡ SampleMultiplexer
+"""
+
+from __future__ import annotations
+
+import glob as _glob
+import itertools
+import json
+import os
+import queue
+import random
+import threading
+from typing import Any, Callable, Dict, Iterable, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+from .story_telling import collate
+
+
+def list_jsonl_files(data_dir, recursive: bool = True) -> List[str]:
+    if isinstance(data_dir, (list, tuple)):
+        out: List[str] = []
+        for d in data_dir:
+            out.extend(list_jsonl_files(d, recursive))
+        return sorted(out)
+    if os.path.isfile(data_dir):
+        return [data_dir]
+    pattern = "**/*.jsonl" if recursive else "*.jsonl"
+    return sorted(_glob.glob(os.path.join(data_dir, pattern), recursive=recursive))
+
+
+def parse_jsonl(path: str) -> Iterator[Dict[str, Any]]:
+    """Yield records, swallowing bad lines (reference datapipes.py:48-62)."""
+    try:
+        with open(path, "r") as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                try:
+                    yield json.loads(line)
+                except json.JSONDecodeError:
+                    continue
+    except OSError:
+        return
+
+
+def shard_for_host(
+    items: Sequence, host_index: Optional[int] = None, host_count: Optional[int] = None
+) -> List:
+    if host_index is None or host_count is None:
+        import jax
+
+        host_index = jax.process_index()
+        host_count = jax.process_count()
+    return list(items)[host_index::host_count]
+
+
+class JsonlStoryDataset:
+    """Deterministic iterable over decoded samples.
+
+    One "epoch" = one pass over (files x cycle_count) with seeded shuffles.
+    """
+
+    def __init__(
+        self,
+        data_dir,
+        decode_fn: Callable[[Dict[str, Any]], Optional[Dict[str, np.ndarray]]],
+        *,
+        cycle_count: int = 1,
+        seed: int = 0,
+        host_index: Optional[int] = None,
+        host_count: Optional[int] = None,
+        shuffle_buffer: int = 256,
+    ):
+        self.files = list_jsonl_files(data_dir)
+        if not self.files:
+            raise FileNotFoundError(f"no .jsonl under {data_dir}")
+        self.decode_fn = decode_fn
+        self.cycle_count = cycle_count
+        self.seed = seed
+        self.host_index = host_index
+        self.host_count = host_count
+        self.shuffle_buffer = shuffle_buffer
+
+    def _file_stream(self, epoch: int) -> List[str]:
+        rng = random.Random(f"{self.seed}:files:{epoch}")
+        files = list(self.files)
+        rng.shuffle(files)
+        files = files * self.cycle_count
+        rng.shuffle(files)
+        return shard_for_host(files, self.host_index, self.host_count)
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        for epoch in itertools.count():
+            rng = random.Random(f"{self.seed}:sample:{epoch}")
+            buf: List[Dict[str, Any]] = []
+            for path in self._file_stream(epoch):
+                for record in parse_jsonl(path):
+                    buf.append(record)
+                    if len(buf) >= self.shuffle_buffer:
+                        idx = rng.randrange(len(buf))
+                        buf[idx], buf[-1] = buf[-1], buf[idx]
+                        sample = self.decode_fn(buf.pop())
+                        if sample is not None:
+                            yield sample
+            rng.shuffle(buf)
+            for record in buf:
+                sample = self.decode_fn(record)
+                if sample is not None:
+                    yield sample
+
+
+def sample_multiplexer(
+    pipes: Sequence[Iterable], weights: Optional[Sequence[float]] = None, seed: int = 0
+) -> Iterator:
+    """Weighted random interleave (≡ torchdata SampleMultiplexer,
+    reference story_telling.py:616-634)."""
+    iters = [iter(p) for p in pipes]
+    if weights is None:
+        weights = [1.0] * len(iters)
+    weights = list(weights)
+    rng = random.Random(seed)
+    while iters:
+        i = rng.choices(range(len(iters)), weights=weights, k=1)[0]
+        try:
+            yield next(iters[i])
+        except StopIteration:
+            del iters[i], weights[i]
+
+
+def batched(samples: Iterable, batch_size: int) -> Iterator[Dict[str, np.ndarray]]:
+    it = iter(samples)
+    while True:
+        batch = list(itertools.islice(it, batch_size))
+        if len(batch) < batch_size:
+            return  # drop ragged tail: static shapes only
+        yield collate(batch)
+
+
+class ThreadedLoader:
+    """Background-thread pipeline with a bounded prefetch queue.
+
+    Plays the role of torchdata's MultiProcessingReadingService +
+    the CUDA-stream PrefetchLoader (reference dataloader_utils.py:47-113):
+    decode happens off the trainer thread; `device_put_fn` (optional)
+    moves batches to device ahead of use for transfer/compute overlap.
+    """
+
+    _SENTINEL = object()
+
+    def __init__(
+        self,
+        batch_iter_factory: Callable[[], Iterator],
+        prefetch: int = 2,
+        device_put_fn: Optional[Callable] = None,
+    ):
+        self.factory = batch_iter_factory
+        self.prefetch = prefetch
+        self.device_put_fn = device_put_fn
+        self._q: queue.Queue = queue.Queue(maxsize=prefetch)
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._worker, daemon=True)
+        self._thread.start()
+
+    def _worker(self):
+        try:
+            for batch in self.factory():
+                if self._stop.is_set():
+                    return
+                if self.device_put_fn is not None:
+                    batch = self.device_put_fn(batch)
+                self._q.put(batch)
+        finally:
+            self._q.put(self._SENTINEL)
+
+    def __iter__(self):
+        while True:
+            item = self._q.get()
+            if item is self._SENTINEL:
+                return
+            yield item
+
+    def close(self):
+        self._stop.set()
+        try:
+            while True:
+                self._q.get_nowait()
+        except queue.Empty:
+            pass
