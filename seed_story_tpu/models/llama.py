@@ -1,0 +1,449 @@
+"""LLaMA-2 in flax.linen, TPU-first.
+
+Capability-parity with the reference's two LLaMA forks
+(/root/reference/src/models_clm/modeling_llama_xformer.py and
+modeling_llama_4_35.py) redesigned for XLA:
+
+  * attention runs through the Pallas flash kernel (ops/attention.py) —
+    causal for training, bottom-right-aligned for multi-token decode
+    (the xformers fork's LowerTriangularFromBottomRightMask, :281-295)
+  * GQA-ready (num_kv_heads), RoPE with linear/dynamic-NTK scaling
+    (4_35 fork :151-192)
+  * the fork's model-owned ``past_key_values``/``kv_cache_head`` mutable
+    state (:676-679,778-784) becomes an explicit, fixed-capacity
+    ``KVCache`` pytree threaded through ``__call__`` — jit-stable, no
+    dynamic shapes; callers may append many tokens at once
+  * LoRA (r/alpha/dropout on all 7 projections) is a first-class module
+    parameter set (``lora_a``/``lora_b``), mirroring
+    configs/clm_models/llama2chat7b_lora.yaml; trainability masks are
+    built by ``lora_trainable_mask``
+  * weights carry flax logical-axis names so pjit can lay them out for
+    DP/FSDP/TP from a single rule table (parallel/sharding.py)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..ops.attention import mha
+from ..ops.rope import apply_rope, rope_frequencies
+
+Dtype = Any
+
+
+@dataclasses.dataclass(frozen=True)
+class LlamaConfig:
+    vocab_size: int = 32066  # 32000 + 66 multimodal tokens
+    hidden_size: int = 4096
+    intermediate_size: int = 11008
+    num_hidden_layers: int = 32
+    num_attention_heads: int = 32
+    num_key_value_heads: Optional[int] = None  # None -> MHA
+    max_position_embeddings: int = 4096
+    rms_norm_eps: float = 1e-5
+    rope_theta: float = 10000.0
+    rope_scaling_type: Optional[str] = None  # None | 'linear' | 'dynamic'
+    rope_scaling_factor: float = 1.0
+    tie_word_embeddings: bool = False
+    # LoRA (0 disables). Reference: r=16, alpha=32, dropout=0.05 on all 7
+    # projections (llama2chat7b_lora.yaml).
+    lora_rank: int = 0
+    lora_alpha: float = 32.0
+    lora_dropout: float = 0.05
+    dtype: Dtype = jnp.bfloat16
+    param_dtype: Dtype = jnp.float32
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.num_attention_heads
+
+    @property
+    def kv_heads(self) -> int:
+        return self.num_key_value_heads or self.num_attention_heads
+
+    @staticmethod
+    def tiny(**kw) -> "LlamaConfig":
+        base = dict(
+            vocab_size=32066, hidden_size=128, intermediate_size=352,
+            num_hidden_layers=2, num_attention_heads=4,
+            max_position_embeddings=512,
+        )
+        base.update(kw)
+        return LlamaConfig(**base)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class KVCache:
+    """Fixed-capacity KV cache: one (B, kv_heads, capacity, head_dim) pair
+    per layer, plus the per-row fill level (== the reference's
+    ``kv_cache_head``)."""
+
+    k: jax.Array  # (L, B, kv_heads, capacity, head_dim)
+    v: jax.Array
+    length: jax.Array  # (B,) int32 — tokens already in the cache
+
+    @classmethod
+    def create(cls, cfg: LlamaConfig, batch: int, capacity: int, dtype=jnp.bfloat16):
+        shape = (cfg.num_hidden_layers, batch, cfg.kv_heads, capacity, cfg.head_dim)
+        return cls(
+            k=jnp.zeros(shape, dtype),
+            v=jnp.zeros(shape, dtype),
+            length=jnp.zeros((batch,), jnp.int32),
+        )
+
+    @property
+    def capacity(self) -> int:
+        return self.k.shape[3]
+
+
+class RMSNorm(nn.Module):
+    eps: float = 1e-5
+    dtype: Dtype = jnp.bfloat16
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        scale = self.param(
+            "weight",
+            nn.with_logical_partitioning(nn.initializers.ones, ("embed",)),
+            (x.shape[-1],),
+            self.param_dtype,
+        )
+        xf = x.astype(jnp.float32)
+        var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+        xf = xf * jax.lax.rsqrt(var + self.eps)
+        return (xf * scale.astype(jnp.float32)).astype(self.dtype)
+
+
+class LoRADense(nn.Module):
+    """Dense layer with optional LoRA adapter: y = xW + (alpha/r)·(xA)B."""
+
+    features: int
+    use_bias: bool = False
+    lora_rank: int = 0
+    lora_alpha: float = 32.0
+    lora_dropout: float = 0.0
+    kernel_axes: Tuple[str, str] = ("embed", "mlp")
+    dtype: Dtype = jnp.bfloat16
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        in_features = x.shape[-1]
+        kernel = self.param(
+            "kernel",
+            nn.with_logical_partitioning(
+                nn.initializers.lecun_normal(), self.kernel_axes
+            ),
+            (in_features, self.features),
+            self.param_dtype,
+        )
+        y = jnp.dot(x, kernel.astype(self.dtype))
+        if self.use_bias:
+            bias = self.param(
+                "bias",
+                nn.with_logical_partitioning(
+                    nn.initializers.zeros, (self.kernel_axes[-1],)
+                ),
+                (self.features,),
+                self.param_dtype,
+            )
+            y = y + bias.astype(self.dtype)
+        if self.lora_rank > 0:
+            lora_a = self.param(
+                "lora_a",
+                nn.with_logical_partitioning(
+                    nn.initializers.normal(stddev=0.02), (self.kernel_axes[0], "lora")
+                ),
+                (in_features, self.lora_rank),
+                self.param_dtype,
+            )
+            lora_b = self.param(
+                "lora_b",
+                nn.with_logical_partitioning(
+                    nn.initializers.zeros, ("lora", self.kernel_axes[-1])
+                ),
+                (self.lora_rank, self.features),
+                self.param_dtype,
+            )
+            xl = x
+            if self.lora_dropout > 0.0 and not deterministic:
+                xl = nn.Dropout(rate=self.lora_dropout)(xl, deterministic=False)
+            scaling = self.lora_alpha / self.lora_rank
+            y = y + scaling * jnp.dot(
+                jnp.dot(xl, lora_a.astype(self.dtype)), lora_b.astype(self.dtype)
+            )
+        return y
+
+
+class LlamaAttention(nn.Module):
+    cfg: LlamaConfig
+
+    @nn.compact
+    def __call__(
+        self,
+        x,  # (B, S, D)
+        *,
+        layer_idx: int,
+        cache: Optional[KVCache] = None,
+        attention_mask: Optional[jax.Array] = None,  # (B, S) 1/0 suffix padding
+        deterministic: bool = True,
+    ):
+        cfg = self.cfg
+        b, s, _ = x.shape
+        h, hkv, hd = cfg.num_attention_heads, cfg.kv_heads, cfg.head_dim
+
+        def proj(features, name, out_axis):
+            return LoRADense(
+                features=features,
+                lora_rank=cfg.lora_rank,
+                lora_alpha=cfg.lora_alpha,
+                lora_dropout=cfg.lora_dropout,
+                kernel_axes=("embed", out_axis),
+                dtype=cfg.dtype,
+                param_dtype=cfg.param_dtype,
+                name=name,
+            )
+
+        q = proj(h * hd, "q_proj", "heads")(x, deterministic)
+        k = proj(hkv * hd, "k_proj", "heads")(x, deterministic)
+        v = proj(hkv * hd, "v_proj", "heads")(x, deterministic)
+
+        q = q.reshape(b, s, h, hd).transpose(0, 2, 1, 3)
+        k = k.reshape(b, s, hkv, hd).transpose(0, 2, 1, 3)
+        v = v.reshape(b, s, hkv, hd).transpose(0, 2, 1, 3)
+
+        if cache is not None:
+            start = cache.length  # (B,)
+        else:
+            start = jnp.zeros((b,), jnp.int32)
+        positions = start[:, None] + jnp.arange(s)[None, :]  # (B, S)
+        cos, sin = rope_frequencies(
+            hd,
+            positions,
+            base=cfg.rope_theta,
+            scaling_type=cfg.rope_scaling_type,
+            scaling_factor=cfg.rope_scaling_factor,
+            max_position_embeddings=cfg.max_position_embeddings,
+            seq_len=jnp.max(start) + s,
+        )
+        q, k = apply_rope(q, k, cos, sin)
+
+        new_cache_slice = None
+        if cache is not None:
+            # Insert the new K/V at each row's fill level, attend over the
+            # whole buffer with per-row limits. vmap over batch keeps the
+            # per-row dynamic_update_slice jit-stable.
+            def insert(buf, new, st):
+                return jax.lax.dynamic_update_slice(buf, new, (0, st, 0))
+
+            k_buf = jax.vmap(insert)(cache.k[layer_idx], k.astype(cache.k.dtype), start)
+            v_buf = jax.vmap(insert)(cache.v[layer_idx], v.astype(cache.v.dtype), start)
+            new_cache_slice = (k_buf, v_buf)
+            out = mha(
+                q.astype(cfg.dtype),
+                k_buf.astype(cfg.dtype),
+                v_buf.astype(cfg.dtype),
+                causal=True,
+                q_start=start,
+                kv_len=start + s,
+            )
+        else:
+            kv_len = None
+            if attention_mask is not None:
+                kv_len = attention_mask.astype(jnp.int32).sum(axis=-1)
+            out = mha(q, k, v, causal=True, kv_len=kv_len)
+
+        out = out.transpose(0, 2, 1, 3).reshape(b, s, h * hd)
+        o_proj = LoRADense(
+            features=cfg.hidden_size, lora_rank=cfg.lora_rank,
+            lora_alpha=cfg.lora_alpha, lora_dropout=cfg.lora_dropout,
+            kernel_axes=("heads", "embed"), dtype=cfg.dtype,
+            param_dtype=cfg.param_dtype, name="o_proj",
+        )
+        out = o_proj(out, deterministic)
+        return out, new_cache_slice
+
+
+class LlamaMLP(nn.Module):
+    cfg: LlamaConfig
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        cfg = self.cfg
+
+        def proj(features, name, axes):
+            return LoRADense(
+                features=features, lora_rank=cfg.lora_rank,
+                lora_alpha=cfg.lora_alpha, lora_dropout=cfg.lora_dropout,
+                kernel_axes=axes, dtype=cfg.dtype, param_dtype=cfg.param_dtype,
+                name=name,
+            )
+
+        gate = proj(cfg.intermediate_size, "gate_proj", ("embed", "mlp"))(x, deterministic)
+        up = proj(cfg.intermediate_size, "up_proj", ("embed", "mlp"))(x, deterministic)
+        return proj(cfg.hidden_size, "down_proj", ("mlp", "embed"))(
+            nn.silu(gate) * up, deterministic
+        )
+
+
+class LlamaDecoderLayer(nn.Module):
+    cfg: LlamaConfig
+    layer_idx: int
+
+    @nn.compact
+    def __call__(self, x, *, cache=None, attention_mask=None, deterministic=True):
+        cfg = self.cfg
+        h, cache_slice = LlamaAttention(cfg, name="self_attn")(
+            RMSNorm(cfg.rms_norm_eps, cfg.dtype, cfg.param_dtype, name="input_layernorm")(x),
+            layer_idx=self.layer_idx,
+            cache=cache,
+            attention_mask=attention_mask,
+            deterministic=deterministic,
+        )
+        x = x + h
+        h = LlamaMLP(cfg, name="mlp")(
+            RMSNorm(cfg.rms_norm_eps, cfg.dtype, cfg.param_dtype, name="post_attention_layernorm")(x),
+            deterministic,
+        )
+        return x + h, cache_slice
+
+
+class LlamaModel(nn.Module):
+    cfg: LlamaConfig
+
+    def setup(self):
+        cfg = self.cfg
+        self.embed_tokens = nn.Embed(
+            cfg.vocab_size,
+            cfg.hidden_size,
+            dtype=cfg.dtype,
+            param_dtype=cfg.param_dtype,
+            embedding_init=nn.with_logical_partitioning(
+                nn.initializers.normal(stddev=0.02), ("vocab", "embed")
+            ),
+        )
+        self.layers = [
+            LlamaDecoderLayer(cfg, i, name=f"layers_{i}")
+            for i in range(cfg.num_hidden_layers)
+        ]
+        self.norm = RMSNorm(cfg.rms_norm_eps, cfg.dtype, cfg.param_dtype)
+
+    def __call__(
+        self,
+        input_ids: Optional[jax.Array] = None,
+        *,
+        inputs_embeds: Optional[jax.Array] = None,
+        cache: Optional[KVCache] = None,
+        attention_mask: Optional[jax.Array] = None,
+        deterministic: bool = True,
+    ):
+        cfg = self.cfg
+        if inputs_embeds is None:
+            inputs_embeds = self.embed_tokens(input_ids)
+        x = inputs_embeds.astype(cfg.dtype)
+
+        new_k, new_v = [], []
+        for i, layer in enumerate(self.layers):
+            x, cache_slice = layer(
+                x, cache=cache, attention_mask=attention_mask,
+                deterministic=deterministic,
+            )
+            if cache_slice is not None:
+                new_k.append(cache_slice[0])
+                new_v.append(cache_slice[1])
+
+        x = self.norm(x)
+
+        new_cache = None
+        if cache is not None:
+            new_cache = KVCache(
+                k=jnp.stack(new_k), v=jnp.stack(new_v),
+                length=cache.length + x.shape[1],
+            )
+        return x, new_cache
+
+    def embed_tokens_only(self, input_ids):
+        """Embedding lookup alone (the agent scatters image features into
+        these before the main forward — reference models.py:36)."""
+        return self.embed_tokens(input_ids)
+
+
+class LlamaForCausalLM(nn.Module):
+    cfg: LlamaConfig
+
+    def setup(self):
+        cfg = self.cfg
+        self.model = LlamaModel(cfg)
+        self.lm_head = LoRADense(
+            features=cfg.vocab_size, lora_rank=0,
+            kernel_axes=("embed", "vocab"),
+            dtype=cfg.dtype, param_dtype=cfg.param_dtype,
+        )
+
+    def __call__(
+        self,
+        input_ids: Optional[jax.Array] = None,
+        *,
+        inputs_embeds: Optional[jax.Array] = None,
+        cache: Optional[KVCache] = None,
+        attention_mask: Optional[jax.Array] = None,
+        deterministic: bool = True,
+    ):
+        hidden, new_cache = self.model(
+            input_ids,
+            inputs_embeds=inputs_embeds,
+            cache=cache,
+            attention_mask=attention_mask,
+            deterministic=deterministic,
+        )
+        logits = self.lm_head(hidden)
+        return {"logits": logits, "hidden_states": hidden, "cache": new_cache}
+
+    def embed(self, input_ids):
+        return self.model.embed_tokens_only(input_ids)
+
+
+def cross_entropy_loss(logits, labels, ignore_index: int = -100):
+    """Mean CE over supervised positions, shifted next-token style
+    (HF LlamaForCausalLM semantics: logits[:-1] vs labels[1:])."""
+    logits = logits[:, :-1].astype(jnp.float32)
+    labels = labels[:, 1:]
+    valid = labels != ignore_index
+    safe = jnp.where(valid, labels, 0)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    token_ll = jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+    n = jnp.maximum(valid.sum(), 1)
+    return -(token_ll * valid).sum() / n
+
+
+def lora_trainable_mask(params) -> Any:
+    """True for params trained in the reference LoRA recipe
+    (peft_models.py:21-66 + llama2chat7b_lora.yaml): lora_a/b, every
+    *norm weight (modules_to_save), input embeddings, lm_head.
+
+    Works on boxed (nn.Partitioned) or plain param trees; the returned
+    mask tree is unboxed (plain bools), suitable for optax.masked.
+    """
+    params = nn.meta.unbox(params)
+
+    def mask_fn(path, _):
+        names = [str(p.key) if hasattr(p, "key") else str(p) for p in path]
+        joined = "/".join(names)
+        if "lora_a" in names or "lora_b" in names:
+            return True
+        if "input_layernorm" in joined or "post_attention_layernorm" in joined:
+            return True
+        if joined.endswith("model/norm/weight") or "/norm/weight" in joined:
+            return True
+        if "embed_tokens" in joined or "lm_head" in joined:
+            return True
+        return False
+
+    return jax.tree_util.tree_map_with_path(mask_fn, params)

@@ -353,12 +353,8 @@ def mha(
         scale = 1.0 / float(np.sqrt(d))
 
     if implementation == "auto":
-        platform = q.devices().pop().platform if hasattr(q, "devices") else None
-        try:
-            default = jax.default_backend()
-        except Exception:  # pragma: no cover
-            default = "cpu"
-        implementation = "pallas" if (platform or default) == "tpu" else "xla"
+        # NB: must not inspect q.devices() — this runs under tracing.
+        implementation = "pallas" if jax.default_backend() == "tpu" else "xla"
 
     if implementation == "xla":
         return mha_reference(

@@ -1,0 +1,85 @@
+"""Logical-axis -> mesh-axis rules (the whole parallelism surface).
+
+The reference reaches DP via DeepSpeed ZeRO-1/2 and param sharding via the
+Accelerate FSDP plugin (SURVEY §2.7); here both are rule tables applied to
+the flax logical axis names used throughout models/:
+
+  batch  — per-example axis of activations
+  embed  — model hidden dim
+  mlp    — FFN intermediate dim
+  heads  — attention heads (flattened heads*head_dim)
+  vocab  — token vocabulary
+  lora   — LoRA rank dim
+  kv     — resampler/latent kv dims
+
+Presets:
+  DP        — replicate params, shard batch over 'data'
+  FSDP      — additionally shard the big param dims over 'data'
+              (== ZeRO-3 / torch FSDP full-shard; ZeRO-1/2 state sharding
+              falls out of sharding the optimizer state with the same rules)
+  FSDP_TP   — FSDP over 'data' + Megatron-style TP over 'model'
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+from flax import linen as nn
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+Rules = Sequence[Tuple[str, Optional[str]]]
+
+DP_RULES: Rules = (
+    ("batch", "data"),
+    ("embed", None),
+    ("embed_kv", None),
+    ("mlp", None),
+    ("heads", None),
+    ("vocab", None),
+    ("lora", None),
+    ("kv", None),
+)
+
+FSDP_RULES: Rules = (
+    ("batch", "data"),
+    ("embed", None),
+    ("embed_kv", None),
+    ("mlp", "data"),
+    ("heads", "data"),
+    ("vocab", "data"),
+    ("lora", None),
+    ("kv", None),
+)
+
+FSDP_TP_RULES: Rules = (
+    ("batch", "data"),
+    ("embed", "data"),
+    ("embed_kv", None),
+    ("mlp", "model"),
+    ("heads", "model"),
+    ("vocab", "model"),
+    ("lora", None),
+    ("kv", None),
+)
+
+PRESETS = {"dp": DP_RULES, "fsdp": FSDP_RULES, "fsdp_tp": FSDP_TP_RULES}
+
+
+def logical_to_sharding(tree, mesh: Mesh, rules: Rules):
+    """Map a pytree of flax logical-axis metadata to NamedShardings."""
+    specs = nn.logical_to_mesh_axes(nn.get_partition_spec(tree), rules)
+    return jax.tree_util.tree_map(
+        lambda spec: NamedSharding(mesh, spec),
+        specs,
+        is_leaf=lambda x: isinstance(x, P),
+    )
+
+
+def params_sharding(abstract_params, mesh: Mesh, rules: Rules):
+    """Shardings for a params tree produced under nn.Partitioned metadata."""
+    return logical_to_sharding(abstract_params, mesh, rules)
+
+
+def batch_spec() -> P:
+    return P("data")

@@ -1,0 +1,166 @@
+"""LLaMA model: HF numerical parity, KV-cache decode parity, LoRA recipe.
+
+Parity test ports identical random weights into transformers'
+LlamaForCausalLM (torch CPU) — the same validation the BASELINE north-star
+demands ("bit-comparable features"), without copying any reference code.
+"""
+
+import flax
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from seed_story_tpu.models.llama import (
+    KVCache,
+    LlamaConfig,
+    LlamaForCausalLM,
+    cross_entropy_loss,
+    lora_trainable_mask,
+)
+
+CFG = LlamaConfig.tiny(dtype=jnp.float32)
+
+
+@pytest.fixture(scope="module")
+def model_and_params():
+    model = LlamaForCausalLM(CFG)
+    ids = jnp.zeros((1, 8), jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), ids)["params"]
+    return model, params
+
+
+def test_forward_shapes(model_and_params):
+    model, params = model_and_params
+    ids = jnp.arange(12, dtype=jnp.int32).reshape(1, 12) + 100
+    out = model.apply({"params": params}, ids)
+    assert out["logits"].shape == (1, 12, CFG.vocab_size)
+    assert out["hidden_states"].shape == (1, 12, CFG.hidden_size)
+
+
+def test_hf_parity(model_and_params):
+    """Same weights -> same logits as transformers LlamaForCausalLM."""
+    torch = pytest.importorskip("torch")
+    from transformers import LlamaConfig as HFConfig
+    from transformers import LlamaForCausalLM as HFLlama
+
+    model, params = model_and_params
+    p = flax.core.unfreeze(params)
+    p = jax.tree_util.tree_map(
+        lambda x: x.unbox() if hasattr(x, "unbox") else x,
+        p,
+        is_leaf=lambda x: hasattr(x, "unbox"),
+    )
+
+    hf_cfg = HFConfig(
+        vocab_size=CFG.vocab_size,
+        hidden_size=CFG.hidden_size,
+        intermediate_size=CFG.intermediate_size,
+        num_hidden_layers=CFG.num_hidden_layers,
+        num_attention_heads=CFG.num_attention_heads,
+        num_key_value_heads=CFG.kv_heads,
+        max_position_embeddings=CFG.max_position_embeddings,
+        rms_norm_eps=CFG.rms_norm_eps,
+        rope_theta=CFG.rope_theta,
+        attn_implementation="eager",
+        tie_word_embeddings=False,
+    )
+    hf = HFLlama(hf_cfg)
+    sd = hf.state_dict()
+
+    def t(x):
+        return torch.from_numpy(np.asarray(x, np.float32))
+
+    sd["model.embed_tokens.weight"] = t(p["model"]["embed_tokens"]["embedding"])
+    sd["model.norm.weight"] = t(p["model"]["norm"]["weight"])
+    sd["lm_head.weight"] = t(p["lm_head"]["kernel"]).T.contiguous()
+    for i in range(CFG.num_hidden_layers):
+        lp = p["model"][f"layers_{i}"]
+        pre = f"model.layers.{i}."
+        sd[pre + "input_layernorm.weight"] = t(lp["input_layernorm"]["weight"])
+        sd[pre + "post_attention_layernorm.weight"] = t(lp["post_attention_layernorm"]["weight"])
+        for name in ["q_proj", "k_proj", "v_proj", "o_proj"]:
+            sd[pre + f"self_attn.{name}.weight"] = t(lp["self_attn"][name]["kernel"]).T.contiguous()
+        for name in ["gate_proj", "up_proj", "down_proj"]:
+            sd[pre + f"mlp.{name}.weight"] = t(lp["mlp"][name]["kernel"]).T.contiguous()
+    hf.load_state_dict(sd)
+    hf.eval()
+
+    ids_np = np.array([[1, 100, 2345, 31999, 5, 77, 31000, 12]], np.int64)
+    with torch.no_grad():
+        hf_logits = hf(torch.from_numpy(ids_np)).logits.numpy()
+    out = model.apply({"params": params}, jnp.asarray(ids_np, jnp.int32))
+    jax_logits = np.asarray(out["logits"], np.float32)
+    np.testing.assert_allclose(jax_logits, hf_logits, rtol=2e-4, atol=2e-4)
+
+
+def test_cache_decode_matches_full_forward(model_and_params):
+    """Prefill+incremental decode == one full causal forward (the fork's
+    kv_cache_head multi-token append semantics)."""
+    model, params = model_and_params
+    ids = jnp.array([[1, 100, 2345, 31999, 5, 77, 31000, 12, 999, 4]], jnp.int32)
+
+    full = model.apply({"params": params}, ids)["logits"]
+
+    cache = KVCache.create(CFG, batch=1, capacity=32, dtype=jnp.float32)
+    # prefill 6 tokens, then append 3, then 1 (multi-token continuation)
+    out1 = model.apply({"params": params}, ids[:, :6], cache=cache)
+    out2 = model.apply({"params": params}, ids[:, 6:9], cache=out1["cache"])
+    out3 = model.apply({"params": params}, ids[:, 9:], cache=out2["cache"])
+    step_logits = jnp.concatenate(
+        [out1["logits"], out2["logits"], out3["logits"]], axis=1
+    )
+    np.testing.assert_allclose(
+        np.asarray(step_logits), np.asarray(full), rtol=2e-4, atol=2e-4
+    )
+    assert int(out3["cache"].length[0]) == 10
+
+
+def test_inputs_embeds_path(model_and_params):
+    """Agent scatters into embeddings then calls with inputs_embeds
+    (reference models.py:36,62)."""
+    model, params = model_and_params
+    ids = jnp.array([[1, 5, 7, 9]], jnp.int32)
+    emb = model.apply({"params": params}, ids, method=LlamaForCausalLM.embed)
+    out_a = model.apply({"params": params}, inputs_embeds=emb)
+    out_b = model.apply({"params": params}, ids)
+    np.testing.assert_allclose(
+        np.asarray(out_a["logits"]), np.asarray(out_b["logits"]), rtol=1e-5, atol=1e-5
+    )
+
+
+def test_ce_loss_ignore_index():
+    logits = jnp.zeros((1, 4, 10))
+    labels = jnp.array([[-100, 2, -100, 3]])
+    loss = cross_entropy_loss(logits, labels)
+    np.testing.assert_allclose(float(loss), np.log(10.0), rtol=1e-6)
+
+
+def test_lora_zero_init_is_identity_and_mask():
+    cfg = LlamaConfig.tiny(lora_rank=4, dtype=jnp.float32)
+    model = LlamaForCausalLM(cfg)
+    ids = jnp.array([[1, 100, 200, 300]], jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), ids)["params"]
+
+    base = LlamaForCausalLM(CFG)
+    base_params = base.init(jax.random.PRNGKey(0), ids)["params"]
+    # lora_b zero-init => identical function to the base model
+    out_lora = model.apply({"params": params}, ids)["logits"]
+    out_base = base.apply({"params": base_params}, ids)["logits"]
+    np.testing.assert_allclose(
+        np.asarray(out_lora), np.asarray(out_base), rtol=1e-5, atol=1e-5
+    )
+
+    mask = lora_trainable_mask(params)
+    flat = flax.traverse_util.flatten_dict(jax.tree_util.tree_map(
+        lambda x: x, flax.core.unfreeze(mask)))
+    trainable = {"/".join(k) for k, v in flat.items() if v}
+    frozen = {"/".join(k) for k, v in flat.items() if not v}
+    assert any("lora_a" in k for k in trainable)
+    assert any("input_layernorm" in k for k in trainable)
+    assert "model/norm/weight" in trainable
+    assert any("embed_tokens" in k for k in trainable)
+    assert any("lm_head" in k for k in trainable)
+    # base projection kernels frozen
+    assert any("q_proj/kernel" in k for k in frozen)
+    assert not any("q_proj/kernel" in k for k in trainable)
