@@ -39,6 +39,10 @@ Dtype = Any
 @dataclasses.dataclass(frozen=True)
 class LlamaConfig:
     vocab_size: int = 32066  # 32000 + 66 multimodal tokens
+    # Embedding/lm_head tables are padded to this size so the vocab axis
+    # tiles onto the MXU and divides the FSDP/TP mesh axes; logits beyond
+    # vocab_size are masked to -inf. None -> round up to a multiple of 128.
+    padded_vocab_size: Optional[int] = None
     hidden_size: int = 4096
     intermediate_size: int = 11008
     num_hidden_layers: int = 32
@@ -57,6 +61,12 @@ class LlamaConfig:
     lora_dropout: float = 0.05
     dtype: Dtype = jnp.bfloat16
     param_dtype: Dtype = jnp.float32
+
+    @property
+    def vocab_padded(self) -> int:
+        if self.padded_vocab_size is not None:
+            return self.padded_vocab_size
+        return ((self.vocab_size + 127) // 128) * 128
 
     @property
     def head_dim(self) -> int:
@@ -321,7 +331,7 @@ class LlamaModel(nn.Module):
     def setup(self):
         cfg = self.cfg
         self.embed_tokens = nn.Embed(
-            cfg.vocab_size,
+            cfg.vocab_padded,
             cfg.hidden_size,
             dtype=cfg.dtype,
             param_dtype=cfg.param_dtype,
@@ -382,7 +392,7 @@ class LlamaForCausalLM(nn.Module):
         cfg = self.cfg
         self.model = LlamaModel(cfg)
         self.lm_head = LoRADense(
-            features=cfg.vocab_size, lora_rank=0,
+            features=cfg.vocab_padded, lora_rank=0,
             kernel_axes=("embed", "vocab"),
             dtype=cfg.dtype, param_dtype=cfg.param_dtype,
         )
@@ -404,6 +414,9 @@ class LlamaForCausalLM(nn.Module):
             deterministic=deterministic,
         )
         logits = self.lm_head(hidden)
+        if self.cfg.vocab_padded != self.cfg.vocab_size:
+            pad_mask = jnp.arange(self.cfg.vocab_padded) >= self.cfg.vocab_size
+            logits = jnp.where(pad_mask, jnp.asarray(-1e9, logits.dtype), logits)
         return {"logits": logits, "hidden_states": hidden, "cache": new_cache}
 
     def embed(self, input_ids):

@@ -67,13 +67,36 @@ PRESETS = {"dp": DP_RULES, "fsdp": FSDP_RULES, "fsdp_tp": FSDP_TP_RULES}
 
 
 def logical_to_sharding(tree, mesh: Mesh, rules: Rules):
-    """Map a pytree of flax logical-axis metadata to NamedShardings."""
-    specs = nn.logical_to_mesh_axes(nn.get_partition_spec(tree), rules)
-    return jax.tree_util.tree_map(
-        lambda spec: NamedSharding(mesh, spec),
-        specs,
-        is_leaf=lambda x: isinstance(x, P),
-    )
+    """Map a pytree of flax logical-axis metadata to NamedShardings.
+
+    Dims that do not divide their assigned mesh axis fall back to
+    replicated on that dim (with model dims padded to 128-multiples this
+    only triggers on odd user configs, never silently on the 7B shapes).
+    """
+    shardings = nn.logical_to_mesh_sharding(nn.get_partition_spec(tree), mesh, rules)
+
+    def fix(leaf, sharding):
+        if not hasattr(leaf, "shape") or not isinstance(sharding, NamedSharding):
+            return sharding
+        spec = list(sharding.spec)
+        spec = spec + [None] * (len(leaf.shape) - len(spec))
+        changed = False
+        for i, axis in enumerate(spec):
+            if axis is None:
+                continue
+            names = (axis,) if isinstance(axis, str) else tuple(axis)
+            size = 1
+            for nme in names:
+                size *= mesh.shape[nme]
+            if leaf.shape[i] % size != 0:
+                spec[i] = None
+                changed = True
+        if not changed:
+            return sharding
+        return NamedSharding(mesh, P(*spec))
+
+    leaves = jax.tree_util.tree_map(lambda x: x, tree)
+    return jax.tree_util.tree_map(fix, nn.meta.unbox(leaves), shardings)
 
 
 def params_sharding(abstract_params, mesh: Mesh, rules: Rules):

@@ -1,0 +1,200 @@
+"""Generic pjit trainer: one train-step function covering all 3 stages.
+
+The reference's three loops (train.py / train_clm_sft.py /
+train_sdxl_img2img_llm.py, SURVEY §2.5) share: AdamW + cosine-min-ratio,
+grad clip, gradient accumulation, bf16 mixed precision, ZeRO/FSDP
+sharding, checkpoint/resume, all-gathered scalar metrics. Here that is a
+single ``Trainer`` where:
+
+  * ZeRO-1/2 and FSDP are both "shard params/opt-state along the data
+    axis" — one rule table (parallel/sharding.py) instead of two plugins
+  * gradient accumulation is a ``lax.scan`` over microbatches inside the
+    jitted step (no Python-side accumulation)
+  * frozen-module handling (ViT in stage 2, everything but the adapter in
+    stage 3) is an optax ``masked`` transform; metrics come back as
+    replicated scalars (XLA inserts the cross-device reductions)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..parallel.sharding import PRESETS, logical_to_sharding
+from .scheduler import get_scheduler
+
+
+@dataclasses.dataclass
+class TrainConfig:
+    learning_rate: float = 1e-4
+    weight_decay: float = 0.05
+    adam_b1: float = 0.9
+    adam_b2: float = 0.999
+    adam_eps: float = 1e-8
+    max_grad_norm: float = 1.0
+    lr_scheduler_type: str = "cosine"
+    warmup_steps: int = 100
+    training_steps: int = 6000
+    min_lr_ratio: float = 0.05
+    grad_accum_steps: int = 1
+    sharding_preset: str = "fsdp"
+
+
+def make_optimizer(cfg: TrainConfig, trainable_mask=None) -> optax.GradientTransformation:
+    schedule = get_scheduler(
+        cfg.lr_scheduler_type, cfg.learning_rate, cfg.warmup_steps,
+        cfg.training_steps, cfg.min_lr_ratio,
+    )
+    tx = optax.chain(
+        optax.clip_by_global_norm(cfg.max_grad_norm),
+        optax.adamw(
+            learning_rate=schedule, b1=cfg.adam_b1, b2=cfg.adam_b2,
+            eps=cfg.adam_eps, weight_decay=cfg.weight_decay,
+        ),
+    )
+    if trainable_mask is not None:
+        tx = optax.masked(tx, trainable_mask)
+    return tx
+
+
+class TrainState:
+    """Minimal pytree train state (params, opt_state, step)."""
+
+    def __init__(self, params, opt_state, step):
+        self.params = params
+        self.opt_state = opt_state
+        self.step = step
+
+    def tree_flatten(self):
+        return (self.params, self.opt_state, self.step), None
+
+    @classmethod
+    def tree_unflatten(cls, _, children):
+        return cls(*children)
+
+
+jax.tree_util.register_pytree_node(
+    TrainState, TrainState.tree_flatten, TrainState.tree_unflatten
+)
+
+
+class Trainer:
+    """Builds the sharded train step for a flax module.
+
+    ``loss_fn(params, batch, rng) -> (loss, metrics_dict)`` is supplied per
+    stage; the Trainer owns sharding, optimizer, accumulation and jit.
+    """
+
+    def __init__(
+        self,
+        mesh: Mesh,
+        abstract_params,  # pytree w/ nn.Partitioned metadata (from eval_shape)
+        loss_fn: Callable,
+        cfg: TrainConfig,
+        trainable_mask=None,
+        batch_sharding: Optional[Any] = None,
+    ):
+        self.mesh = mesh
+        self.cfg = cfg
+        self.loss_fn = loss_fn
+        rules = PRESETS[cfg.sharding_preset]
+        self.param_sharding = logical_to_sharding(abstract_params, mesh, rules)
+        if batch_sharding is None:
+            # with accumulation the leading axis is (accum, batch, ...)
+            spec = P(None, "data") if cfg.grad_accum_steps > 1 else P("data")
+            batch_sharding = NamedSharding(mesh, spec)
+        self.batch_sharding = batch_sharding
+        self.replicated = NamedSharding(mesh, P())
+        self.tx = make_optimizer(cfg, trainable_mask)
+        self._jitted = None
+
+    # -- state --------------------------------------------------------
+
+    def init_state(self, params) -> TrainState:
+        # Copy before device_put: step() donates the state, and device_put
+        # may alias the caller's buffers — donation would delete them.
+        params = jax.tree_util.tree_map(jnp.array, params)
+        params = jax.device_put(params, self.param_sharding)
+        opt_sharding = self.opt_state_sharding(params)
+        opt_state = jax.jit(self.tx.init, out_shardings=opt_sharding)(params)
+        return TrainState(params, opt_state, jnp.zeros((), jnp.int32))
+
+    def opt_state_sharding(self, params):
+        """Adam moments mirror param shapes -> inherit the param sharding;
+        scalars (step counts) replicate. Matching is by (shape, dtype)."""
+        shapes = jax.eval_shape(self.tx.init, params)
+        shape_to_sharding = {}
+        for p, s in zip(
+            jax.tree_util.tree_leaves(params),
+            jax.tree_util.tree_leaves(self.param_sharding),
+        ):
+            shape_to_sharding.setdefault((p.shape, str(p.dtype)), s)
+
+        def pick(leaf):
+            return shape_to_sharding.get((leaf.shape, str(leaf.dtype)), self.replicated)
+
+        return jax.tree_util.tree_map(pick, shapes)
+
+    # -- step ---------------------------------------------------------
+
+    def _train_step(self, state: TrainState, batch, rng):
+        cfg = self.cfg
+
+        def microbatch_grads(params, micro):
+            (loss, metrics), grads = jax.value_and_grad(self.loss_fn, has_aux=True)(
+                params, micro, rng
+            )
+            metrics = dict(metrics)
+            metrics["loss"] = loss
+            return grads, metrics
+
+        params = state.params
+        if cfg.grad_accum_steps > 1:
+            # batch leaves are stacked (accum, micro_bs, ...): run the first
+            # microbatch to fix the metric structure, scan the rest.
+            first = jax.tree_util.tree_map(lambda x: x[0], batch)
+            g_first, m_first = microbatch_grads(params, first)
+
+            def scan_body(carry, micro):
+                g_acc, m_acc = carry
+                g, m = microbatch_grads(params, micro)
+                return (
+                    jax.tree_util.tree_map(jnp.add, g_acc, g),
+                    jax.tree_util.tree_map(jnp.add, m_acc, m),
+                ), None
+
+            rest = jax.tree_util.tree_map(lambda x: x[1:], batch)
+            (g_sum, m_sum), _ = jax.lax.scan(scan_body, (g_first, m_first), rest)
+            grads = jax.tree_util.tree_map(lambda g: g / cfg.grad_accum_steps, g_sum)
+            metrics = jax.tree_util.tree_map(lambda m: m / cfg.grad_accum_steps, m_sum)
+        else:
+            grads, metrics = microbatch_grads(params, batch)
+
+        updates, new_opt = self.tx.update(grads, state.opt_state, params)
+        new_params = optax.apply_updates(params, updates)
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return TrainState(new_params, new_opt, state.step + 1), metrics
+
+    def compile(self, state: TrainState):
+        state_shardings = TrainState(
+            self.param_sharding,
+            jax.tree_util.tree_map(lambda x: x.sharding, state.opt_state),
+            self.replicated,
+        )
+        self._jitted = jax.jit(
+            self._train_step,
+            in_shardings=(state_shardings, self.batch_sharding, self.replicated),
+            out_shardings=(state_shardings, self.replicated),
+            donate_argnums=(0,),
+        )
+        return self._jitted
+
+    def step(self, state, batch, rng):
+        if self._jitted is None:
+            self.compile(state)
+        return self._jitted(state, batch, rng)

@@ -34,7 +34,9 @@ def test_forward_shapes(model_and_params):
     model, params = model_and_params
     ids = jnp.arange(12, dtype=jnp.int32).reshape(1, 12) + 100
     out = model.apply({"params": params}, ids)
-    assert out["logits"].shape == (1, 12, CFG.vocab_size)
+    assert out["logits"].shape == (1, 12, CFG.vocab_padded)
+    # padded vocab tail is masked to -inf-ish
+    assert float(out["logits"][..., CFG.vocab_size :].max()) <= -1e8
     assert out["hidden_states"].shape == (1, 12, CFG.hidden_size)
 
 
@@ -71,9 +73,10 @@ def test_hf_parity(model_and_params):
     def t(x):
         return torch.from_numpy(np.asarray(x, np.float32))
 
-    sd["model.embed_tokens.weight"] = t(p["model"]["embed_tokens"]["embedding"])
+    # JAX tables are padded to vocab_padded; HF holds the true vocab rows.
+    sd["model.embed_tokens.weight"] = t(p["model"]["embed_tokens"]["embedding"][: CFG.vocab_size])
     sd["model.norm.weight"] = t(p["model"]["norm"]["weight"])
-    sd["lm_head.weight"] = t(p["lm_head"]["kernel"]).T.contiguous()
+    sd["lm_head.weight"] = t(p["lm_head"]["kernel"][:, : CFG.vocab_size]).T.contiguous()
     for i in range(CFG.num_hidden_layers):
         lp = p["model"][f"layers_{i}"]
         pre = f"model.layers.{i}."
@@ -90,7 +93,7 @@ def test_hf_parity(model_and_params):
     with torch.no_grad():
         hf_logits = hf(torch.from_numpy(ids_np)).logits.numpy()
     out = model.apply({"params": params}, jnp.asarray(ids_np, jnp.int32))
-    jax_logits = np.asarray(out["logits"], np.float32)
+    jax_logits = np.asarray(out["logits"], np.float32)[..., : CFG.vocab_size]
     np.testing.assert_allclose(jax_logits, hf_logits, rtol=2e-4, atol=2e-4)
 
 
