@@ -1,0 +1,227 @@
+"""Jit-compiled story-agent generation.
+
+Reproduces ContinuousLVLM.generate
+(/root/reference/src/models_clm/models.py:98-221) as a single on-device
+program: padded-prompt prefill (image features scattered into the token
+slots) -> ``lax.while_loop`` greedy decode with the image-token automaton
+-> per-step hidden-state capture -> output-resampler features for the 64
+tokens preceding the LAST ``</img>`` (models.py:185-205).
+
+Everything is static-shape: prompts are bucket-padded (one compile per
+bucket), the KV cache has fixed capacity, hidden states land in a
+preallocated (max_new_tokens, D) buffer.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.tokenizer import EOI_TOKEN_ID, NUM_IMG_TOKENS
+from ..models.llama import KVCache
+from .logits_processors import ImageTokenAutomaton
+
+
+@dataclasses.dataclass
+class GenerateConfig:
+    max_new_tokens: int = 500
+    num_img_gen_tokens: int = NUM_IMG_TOKENS
+    eos_token_id: int = 2
+    eoi_token_id: int = EOI_TOKEN_ID
+    cache_capacity: int = 4096
+    prompt_bucket: int = 128  # prompts pad up to a multiple of this
+    temperature: float = 0.0  # 0 => greedy (reference uses do_sample=False)
+    top_p: float = 1.0
+    # Testing/benchmark knob: force a '<img>' at this decode step if the
+    # model hasn't opened an image block on its own (untrained weights
+    # never would). None disables — trained models don't need it.
+    force_boi_at: Optional[int] = None
+    # Static upper bound on context images per call: the image axis is
+    # padded to this so a growing story shares ONE compiled program
+    # (window_size in the pipelines; 8 in the reference).
+    max_context_images: int = 8
+
+
+class StoryGenerator:
+    """Owns the jitted prefill+decode program for one agent+params set."""
+
+    def __init__(self, agent_model, params, cfg: GenerateConfig):
+        self.agent = agent_model
+        self.params = params
+        self.cfg = cfg
+        llm_cfg = agent_model.cfg.llm
+        self.automaton = ImageTokenAutomaton(
+            llm_cfg.vocab_padded, num_img_gen_tokens=cfg.num_img_gen_tokens
+        )
+        self._compiled: Dict[Any, Any] = {}
+
+    # -- on-device program -------------------------------------------
+
+    def _generate_impl(
+        self,
+        params,
+        input_ids,  # (1, P) bucket-padded
+        prompt_len,  # (1,) true length
+        image_embeds,  # (N, vit_tokens, vit_dim)
+        embeds_cmp_mask,  # (N,)
+        ids_cmp_mask,  # (1, P)
+        cache: KVCache,
+    ):
+        cfg = self.cfg
+        agent = self.agent
+
+        def apply(method, *a, **kw):
+            return agent.apply({"params": params}, *a, method=method, **kw)
+
+        # ---- prefill -------------------------------------------------
+        embeds = apply(
+            agent.embed_with_images, input_ids, image_embeds,
+            ids_cmp_mask, embeds_cmp_mask,
+        )
+        out = apply(agent.llm_step, embeds, cache, seq_lengths=prompt_len)
+        cache = out["cache"]
+        # logits/hidden at the last true prompt position
+        last_idx = prompt_len - 1  # (1,)
+        last_logits = jnp.take_along_axis(
+            out["logits"], last_idx[:, None, None], axis=1
+        )[:, 0]  # (1, V)
+
+        d = out["hidden_states"].shape[-1]
+        max_new = cfg.max_new_tokens
+
+        tokens_buf = jnp.zeros((max_new,), jnp.int32)
+        hidden_buf = jnp.zeros((max_new, d), out["hidden_states"].dtype)
+
+        from ..data.tokenizer import BOI_TOKEN_ID
+
+        def pick(prev_token, logits, step):
+            logits = self.automaton(prev_token, logits.astype(jnp.float32))
+            tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # greedy
+            if cfg.force_boi_at is not None:
+                in_chain = self.automaton.forced_next[prev_token] >= 0
+                force = jnp.logical_and(step == cfg.force_boi_at,
+                                        jnp.logical_not(in_chain))
+                tok = jnp.where(force, BOI_TOKEN_ID, tok)
+            return tok
+
+        prev_token = input_ids[0, :][last_idx[0]]  # last true prompt token
+        first_token = pick(prev_token[None], last_logits, 0)[0]
+        tokens_buf = tokens_buf.at[0].set(first_token)
+
+        def cond(state):
+            i, done, *_ = state
+            return jnp.logical_and(i < max_new, jnp.logical_not(done))
+
+        def body(state):
+            i, done, cache, tokens_buf, hidden_buf = state
+            tok = tokens_buf[i - 1]
+            emb = apply(agent.embed_tokens, tok[None, None])  # (1,1,D)
+            out = apply(agent.llm_step, emb, cache)
+            cache = out["cache"]
+            hidden_buf = hidden_buf.at[i - 1].set(out["hidden_states"][0, 0])
+            nxt = pick(tok[None], out["logits"][:, 0], i)[0]
+            done = tok == cfg.eos_token_id
+            tokens_buf = jax.lax.cond(
+                done, lambda tb: tb, lambda tb: tb.at[i].set(nxt), tokens_buf
+            )
+            return i + 1, done, cache, tokens_buf, hidden_buf
+
+        i, done, cache, tokens_buf, hidden_buf = jax.lax.while_loop(
+            cond, body, (jnp.int32(1), jnp.bool_(False), cache, tokens_buf, hidden_buf)
+        )
+        num_generated = jnp.where(done, i - 1, i)
+
+        # ---- image feature extraction (last </img>) ------------------
+        is_eoi = (tokens_buf == cfg.eoi_token_id) & (
+            jnp.arange(max_new) < num_generated
+        )
+        has_img = is_eoi.any()
+        last_eoi = jnp.where(
+            has_img, max_new - 1 - jnp.argmax(is_eoi[::-1]), cfg.num_img_gen_tokens
+        )
+        start = jnp.clip(last_eoi - cfg.num_img_gen_tokens, 0)
+        block = jax.lax.dynamic_slice(
+            hidden_buf, (start, 0), (cfg.num_img_gen_tokens, d)
+        )  # hidden states at the 64 img-token positions
+        img_feat = apply(agent.resample_output, block[None])  # (1, 256, vit_dim)
+
+        return {
+            "tokens": tokens_buf,
+            "num_generated": num_generated,
+            "has_img_output": has_img,
+            "img_gen_feat": img_feat,
+            "cache": cache,
+        }
+
+    # -- host API ------------------------------------------------------
+
+    def _get_compiled(self, bucket: int, n_images: int):
+        key = (bucket, n_images)
+        if key not in self._compiled:
+            self._compiled[key] = jax.jit(self._generate_impl)
+        return self._compiled[key]
+
+    def generate(
+        self,
+        input_ids: np.ndarray,  # (P,) or (1, P) true prompt
+        image_embeds,  # (N, vit_tokens, vit_dim)
+        embeds_cmp_mask,  # (N,) bool
+        ids_cmp_mask: np.ndarray,  # (P,) bool
+        cache: Optional[KVCache] = None,
+    ):
+        """Pads the prompt to a bucket, runs the on-device program, returns
+        host-side results (+ the updated cache for sink reuse)."""
+        cfg = self.cfg
+        input_ids = np.atleast_2d(np.asarray(input_ids, np.int32))
+        p = input_ids.shape[1]
+        bucket = ((p + cfg.prompt_bucket - 1) // cfg.prompt_bucket) * cfg.prompt_bucket
+        pad = bucket - p
+        ids_pad = np.pad(input_ids, ((0, 0), (0, pad)))
+        cmp_pad = np.pad(
+            np.atleast_2d(np.asarray(ids_cmp_mask, bool)), ((0, 0), (0, pad))
+        )
+        # pad the image axis to the static bound -> one compile for the story
+        image_embeds = np.asarray(image_embeds)
+        embeds_cmp_mask = np.asarray(embeds_cmp_mask, bool)
+        n_img = image_embeds.shape[0]
+        max_img = max(cfg.max_context_images, n_img)
+        if n_img < max_img:
+            image_embeds = np.concatenate(
+                [image_embeds,
+                 np.zeros((max_img - n_img,) + image_embeds.shape[1:],
+                          image_embeds.dtype)],
+                axis=0,
+            )
+            embeds_cmp_mask = np.concatenate(
+                [embeds_cmp_mask, np.zeros(max_img - n_img, bool)]
+            )
+        if cache is None:
+            llm_cfg = self.agent.cfg.llm
+            cache = KVCache.create(
+                llm_cfg, batch=1, capacity=cfg.cache_capacity,
+                dtype=llm_cfg.dtype,
+            )
+        fn = self._get_compiled(bucket, int(image_embeds.shape[0]))
+        out = fn(
+            self.params,
+            jnp.asarray(ids_pad),
+            jnp.asarray([p], jnp.int32),
+            jnp.asarray(image_embeds),
+            jnp.asarray(embeds_cmp_mask),
+            jnp.asarray(cmp_pad),
+            cache,
+        )
+        n = int(out["num_generated"])
+        tokens = np.asarray(out["tokens"])[:n]
+        return {
+            "generate_ids": tokens,
+            "has_img_output": bool(out["has_img_output"]),
+            "img_gen_feat": out["img_gen_feat"] if bool(out["has_img_output"]) else None,
+            "cache": out["cache"],
+            "num_generated": n,
+        }

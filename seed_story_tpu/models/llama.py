@@ -203,6 +203,7 @@ class LlamaAttention(nn.Module):
         layer_idx: int,
         cache: Optional[KVCache] = None,
         attention_mask: Optional[jax.Array] = None,  # (B, S) 1/0 suffix padding
+        seq_lengths: Optional[jax.Array] = None,  # (B,) true new-token count
         deterministic: bool = True,
     ):
         cfg = self.cfg
@@ -256,13 +257,14 @@ class LlamaAttention(nn.Module):
             k_buf = jax.vmap(insert)(cache.k[layer_idx], k.astype(cache.k.dtype), start)
             v_buf = jax.vmap(insert)(cache.v[layer_idx], v.astype(cache.v.dtype), start)
             new_cache_slice = (k_buf, v_buf)
+            new_len = seq_lengths if seq_lengths is not None else s
             out = mha(
                 q.astype(cfg.dtype),
                 k_buf.astype(cfg.dtype),
                 v_buf.astype(cfg.dtype),
                 causal=True,
                 q_start=start,
-                kv_len=start + s,
+                kv_len=start + new_len,
             )
         else:
             kv_len = None
@@ -308,13 +310,15 @@ class LlamaDecoderLayer(nn.Module):
     layer_idx: int
 
     @nn.compact
-    def __call__(self, x, *, cache=None, attention_mask=None, deterministic=True):
+    def __call__(self, x, *, cache=None, attention_mask=None, seq_lengths=None,
+                 deterministic=True):
         cfg = self.cfg
         h, cache_slice = LlamaAttention(cfg, name="self_attn")(
             RMSNorm(cfg.rms_norm_eps, cfg.dtype, cfg.param_dtype, name="input_layernorm")(x),
             layer_idx=self.layer_idx,
             cache=cache,
             attention_mask=attention_mask,
+            seq_lengths=seq_lengths,
             deterministic=deterministic,
         )
         x = x + h
@@ -352,6 +356,7 @@ class LlamaModel(nn.Module):
         inputs_embeds: Optional[jax.Array] = None,
         cache: Optional[KVCache] = None,
         attention_mask: Optional[jax.Array] = None,
+        seq_lengths: Optional[jax.Array] = None,
         deterministic: bool = True,
     ):
         cfg = self.cfg
@@ -363,7 +368,7 @@ class LlamaModel(nn.Module):
         for i, layer in enumerate(self.layers):
             x, cache_slice = layer(
                 x, cache=cache, attention_mask=attention_mask,
-                deterministic=deterministic,
+                seq_lengths=seq_lengths, deterministic=deterministic,
             )
             if cache_slice is not None:
                 new_k.append(cache_slice[0])
@@ -373,9 +378,10 @@ class LlamaModel(nn.Module):
 
         new_cache = None
         if cache is not None:
+            adv = seq_lengths if seq_lengths is not None else x.shape[1]
             new_cache = KVCache(
                 k=jnp.stack(new_k), v=jnp.stack(new_v),
-                length=cache.length + x.shape[1],
+                length=cache.length + adv,
             )
         return x, new_cache
 
@@ -404,6 +410,7 @@ class LlamaForCausalLM(nn.Module):
         inputs_embeds: Optional[jax.Array] = None,
         cache: Optional[KVCache] = None,
         attention_mask: Optional[jax.Array] = None,
+        seq_lengths: Optional[jax.Array] = None,
         deterministic: bool = True,
     ):
         hidden, new_cache = self.model(
@@ -411,6 +418,7 @@ class LlamaForCausalLM(nn.Module):
             inputs_embeds=inputs_embeds,
             cache=cache,
             attention_mask=attention_mask,
+            seq_lengths=seq_lengths,
             deterministic=deterministic,
         )
         logits = self.lm_head(hidden)

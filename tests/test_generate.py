@@ -1,0 +1,116 @@
+"""Decode stack: automaton forcing, jit generation loop, cache reuse."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from seed_story_tpu.data.tokenizer import (
+    BOI_TOKEN_ID,
+    EOI_TOKEN_ID,
+    FIRST_IMG_TOKEN_ID,
+)
+from seed_story_tpu.decode.generate import GenerateConfig, StoryGenerator
+from seed_story_tpu.decode.logits_processors import ImageTokenAutomaton
+from seed_story_tpu.models.agent import AgentConfig, ContinuousLVLM
+
+
+def test_automaton_forces_chain():
+    vocab = 32128
+    auto = ImageTokenAutomaton(vocab, num_img_gen_tokens=4)
+    scores = jnp.zeros((1, vocab)).at[0, 777].set(5.0)
+
+    # after <img>: forced to <img_00000>
+    out = auto(jnp.array([BOI_TOKEN_ID]), scores)
+    assert int(out.argmax()) == FIRST_IMG_TOKEN_ID
+    # after <img_00003> (last img token of 4): forced to </img>
+    out = auto(jnp.array([FIRST_IMG_TOKEN_ID + 3]), scores)
+    assert int(out.argmax()) == EOI_TOKEN_ID
+    # after </img>: no force; img ids soft-suppressed to 0.0, 777 wins
+    out = auto(jnp.array([EOI_TOKEN_ID]), scores)
+    assert int(out.argmax()) == 777
+    assert float(out[0, FIRST_IMG_TOKEN_ID]) == 0.0
+    # normal token: img ids suppressed
+    out = auto(jnp.array([777]), scores)
+    assert float(out[0, FIRST_IMG_TOKEN_ID + 2]) == 0.0
+    assert int(out.argmax()) == 777
+
+
+def _mk_generator(max_new=24):
+    acfg = AgentConfig.tiny()
+    agent = ContinuousLVLM(acfg)
+    nq_in = acfg.num_img_in_tokens  # 4
+    prompt = (
+        [1, 500, 501]
+        + [BOI_TOKEN_ID]
+        + [FIRST_IMG_TOKEN_ID + i for i in range(nq_in)]
+        + [EOI_TOKEN_ID]
+        + [600, BOI_TOKEN_ID]  # ends with <img> -> chain trigger
+    )
+    p = len(prompt)
+    ids_cmp = np.zeros(p, bool)
+    ids_cmp[4 : 4 + nq_in] = True
+    n = 1
+    image_embeds = jax.random.normal(
+        jax.random.PRNGKey(0), (n, acfg.num_vit_tokens, acfg.vit_dim)
+    )
+    batch_args = dict(
+        input_ids=jnp.asarray([prompt], jnp.int32),
+        image_embeds=image_embeds,
+        ids_cmp_mask=jnp.asarray([ids_cmp]),
+        embeds_cmp_mask=jnp.ones((n,), bool),
+    )
+    params = agent.init(
+        jax.random.PRNGKey(1),
+        method=agent.embed_with_images,
+        **batch_args,
+    )["params"]
+    # init covers only embed path params; init full module instead
+    full_args = dict(
+        input_ids=jnp.asarray([prompt + [0] * (64 - p)], jnp.int32)[:, :64],
+        attention_mask=jnp.ones((1, 64), jnp.int32),
+        labels=jnp.zeros((1, 64), jnp.int32),
+        image_embeds=image_embeds,
+        embeds_gen_mask=jnp.ones((n,), bool),
+        embeds_cmp_mask=jnp.ones((n,), bool),
+        ids_gen_mask=jnp.zeros((1, 64), bool).at[0, 10:19].set(True),
+        ids_cmp_mask=jnp.zeros((1, 64), bool),
+    )
+    params = agent.init(jax.random.PRNGKey(1), **full_args)["params"]
+
+    gcfg = GenerateConfig(
+        max_new_tokens=max_new,
+        num_img_gen_tokens=acfg.num_img_out_tokens,  # 9
+        cache_capacity=256,
+        prompt_bucket=16,
+    )
+    gen = StoryGenerator(agent, params, gcfg)
+    return gen, prompt, ids_cmp, image_embeds, np.ones((1,), bool)
+
+
+def test_generate_forced_image_block():
+    gen, prompt, ids_cmp, image_embeds, embeds_cmp = _mk_generator()
+    out = gen.generate(np.array(prompt), image_embeds, embeds_cmp, ids_cmp)
+    toks = out["generate_ids"]
+    # prompt ends with <img> -> the 9-token chain + </img> must open the output
+    want = [FIRST_IMG_TOKEN_ID + i for i in range(9)] + [EOI_TOKEN_ID]
+    assert list(toks[:10]) == want, toks[:20]
+    assert out["has_img_output"]
+    assert out["img_gen_feat"].shape == (1, 9, 128)
+
+
+def test_generate_deterministic_and_bucket_invariant():
+    gen, prompt, ids_cmp, image_embeds, embeds_cmp = _mk_generator()
+    o1 = gen.generate(np.array(prompt), image_embeds, embeds_cmp, ids_cmp)
+    o2 = gen.generate(np.array(prompt), image_embeds, embeds_cmp, ids_cmp)
+    np.testing.assert_array_equal(o1["generate_ids"], o2["generate_ids"])
+
+    # different bucket (longer pad) must not change the result
+    gen.cfg.prompt_bucket = 32
+    gen._compiled.clear()
+    o3 = gen.generate(np.array(prompt), image_embeds, embeds_cmp, ids_cmp)
+    np.testing.assert_array_equal(o1["generate_ids"], o3["generate_ids"])
+    np.testing.assert_allclose(
+        np.asarray(o1["img_gen_feat"], np.float32),
+        np.asarray(o3["img_gen_feat"], np.float32),
+        rtol=2e-2, atol=2e-2,
+    )

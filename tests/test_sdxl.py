@@ -1,0 +1,212 @@
+"""SDXL stack: scheduler math vs hand-derived numpy, UNet/VAE shapes and
+finiteness, adapter training step + trainable mask, full sampling pipeline."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from flax import linen as nn
+
+from seed_story_tpu.models.ipa_resampler import ResamplerXLV2
+from seed_story_tpu.models.sdxl.adapter import (
+    SDXLAdapter,
+    SDXLAdapterConfig,
+    adapter_trainable_mask,
+)
+from seed_story_tpu.models.sdxl.schedulers import (
+    DDPMScheduler,
+    EulerDiscreteScheduler,
+    SchedulerConfig,
+    alphas_cumprod,
+)
+from seed_story_tpu.models.sdxl.unet import (
+    SDXLUNetConfig,
+    UNet2DConditionModel,
+    get_timestep_embedding,
+)
+from seed_story_tpu.models.sdxl.vae import AutoencoderKL, VAEConfig
+
+
+def test_alphas_cumprod_scaled_linear():
+    cfg = SchedulerConfig()
+    acp = alphas_cumprod(cfg)
+    betas = np.linspace(0.00085**0.5, 0.012**0.5, 1000) ** 2
+    want = np.cumprod(1 - betas)
+    np.testing.assert_allclose(acp, want, rtol=1e-5)
+
+
+def test_ddpm_add_noise():
+    sch = DDPMScheduler()
+    x = jnp.ones((2, 4, 4, 4))
+    noise = jnp.full((2, 4, 4, 4), 2.0)
+    t = jnp.array([0, 999])
+    out = np.asarray(sch.add_noise(x, noise, t))
+    acp = np.asarray(sch.alphas_cumprod)
+    for i, ti in enumerate([0, 999]):
+        want = np.sqrt(acp[ti]) * 1.0 + np.sqrt(1 - acp[ti]) * 2.0
+        np.testing.assert_allclose(out[i], want, rtol=1e-5)
+
+
+def test_euler_schedule_leading_spacing():
+    sch = EulerDiscreteScheduler()
+    ts, sigmas = sch.timesteps_and_sigmas(50)
+    assert len(ts) == 50 and len(sigmas) == 51
+    # leading spacing: step 1000/50=20 -> ts = 981, 961, ..., 1
+    assert ts[0] == 981.0 and ts[-1] == 1.0
+    assert sigmas[-1] == 0.0
+    assert np.all(np.diff(sigmas[:-1]) < 0)  # decreasing
+    # one Euler step of a perfect eps-predictor denoises exactly
+    x = jnp.full((1, 2, 2, 1), 3.0)
+    eps = jnp.full((1, 2, 2, 1), 0.5)
+    out = EulerDiscreteScheduler.step(eps, 2.0, 1.0, x)
+    # denoised = x - 2*eps = 2 ; derivative = eps = .5 ; dt = -1
+    np.testing.assert_allclose(np.asarray(out), 3.0 + 0.5 * (-1.0))
+
+
+def test_timestep_embedding_matches_diffusers_formula():
+    emb = np.asarray(get_timestep_embedding(jnp.array([0.0, 10.0]), 8))
+    half = 4
+    exponent = -np.log(10000) * np.arange(half) / half
+    freqs = np.exp(exponent)
+    t = np.array([0.0, 10.0])[:, None] * freqs[None]
+    want = np.concatenate([np.cos(t), np.sin(t)], axis=-1)  # flip_sin_to_cos
+    np.testing.assert_allclose(emb, want, rtol=1e-5, atol=1e-6)
+
+
+@pytest.fixture(scope="module")
+def tiny_unet():
+    cfg = SDXLUNetConfig.tiny()
+    unet = UNet2DConditionModel(cfg)
+    b, h, w = 2, 16, 16
+    args = dict(
+        sample=jnp.zeros((b, h, w, 4)),
+        timesteps=jnp.array([10, 500]),
+        encoder_hidden_states=jnp.zeros((b, 8, cfg.cross_attention_dim)),
+        time_ids=jnp.ones((b, 6)),
+        text_embeds=jnp.zeros((b, cfg.pooled_projection_dim)),
+    )
+    params = unet.init(jax.random.PRNGKey(0), **args)["params"]
+    return unet, params, args
+
+
+def test_unet_forward(tiny_unet):
+    unet, params, args = tiny_unet
+    args = dict(args)
+    args["sample"] = jax.random.normal(jax.random.PRNGKey(1), (2, 16, 16, 4))
+    args["encoder_hidden_states"] = jax.random.normal(
+        jax.random.PRNGKey(2), (2, 8, unet.cfg.cross_attention_dim)
+    )
+    out = unet.apply({"params": params}, **args)
+    assert out.shape == (2, 16, 16, 4)
+    assert np.isfinite(np.asarray(out)).all()
+    # timestep conditioning actually matters
+    args2 = dict(args)
+    args2["timesteps"] = jnp.array([500, 10])
+    out2 = unet.apply({"params": params}, **args2)
+    assert np.abs(np.asarray(out) - np.asarray(out2)).max() > 1e-5
+
+
+def test_unet_param_structure(tiny_unet):
+    unet, params, _ = tiny_unet
+    # down block 0 has no attentions; block 2 has them; mid exists
+    assert "down_blocks_0_resnets_0" in params
+    assert "down_blocks_0_attentions_0" not in params
+    assert "down_blocks_2_attentions_0" in params
+    assert "mid_block_attentions_0" in params
+    assert "up_blocks_2_attentions_0" not in params  # UpBlock2D
+    # GEGLU ff present
+    blk = params["down_blocks_2_attentions_0"]["transformer_blocks_0"]
+    assert "net_0_proj" in blk["ff"]
+
+
+def test_vae_roundtrip_shapes():
+    cfg = VAEConfig.tiny()
+    vae = AutoencoderKL(cfg)
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 32, 32, 3))
+    params = vae.init(jax.random.PRNGKey(1), x)["params"]
+    lat = vae.apply({"params": params}, x, method=vae.encode)
+    # 2 blocks -> one downsample -> 16x16 latents
+    assert lat.shape == (1, 16, 16, 4)
+    out = vae.apply({"params": params}, lat, method=vae.decode)
+    assert out.shape == (1, 32, 32, 3)
+    assert np.isfinite(np.asarray(out)).all()
+    # stochastic encode differs from mode
+    lat2 = vae.apply({"params": params}, x, rng=jax.random.PRNGKey(5),
+                     method=vae.encode)
+    assert np.abs(np.asarray(lat) - np.asarray(lat2)).max() > 0
+
+
+def test_adapter_training_step_and_mask():
+    acfg = SDXLAdapterConfig.tiny()
+    adapter = SDXLAdapter(acfg)
+    b = 2
+    args = dict(
+        noisy_latents=jax.random.normal(jax.random.PRNGKey(0), (b, 8, 8, 4)),
+        timesteps=jnp.array([3, 700]),
+        image_embeds=jax.random.normal(jax.random.PRNGKey(1), (b, 9, acfg.embedding_dim)),
+        time_ids=jnp.ones((b, 6)),
+        noise=jax.random.normal(jax.random.PRNGKey(2), (b, 8, 8, 4)),
+    )
+    params = adapter.init(jax.random.PRNGKey(3), **args)["params"]
+    out = adapter.apply({"params": params}, **args)
+    assert np.isfinite(float(out["total_loss"]))
+
+    def loss(p):
+        return adapter.apply({"params": p}, **args)["total_loss"]
+
+    grads = jax.grad(loss)(nn.meta.unbox(params))
+    mask = adapter_trainable_mask(params)
+    import flax
+
+    flat_mask = flax.traverse_util.flatten_dict(mask)
+    trainable = {"/".join(k) for k, v in flat_mask.items() if v}
+    frozen = {"/".join(k) for k, v in flat_mask.items() if not v}
+    assert any(k.startswith("resampler") for k in trainable)
+    assert any("to_k" in k for k in trainable)
+    assert any("to_v" in k for k in trainable)
+    assert any("to_q" in k for k in frozen)
+    assert any("conv1" in k for k in frozen)
+    # grads exist for trainable leaves
+    flat_g = flax.traverse_util.flatten_dict(grads)
+    gnorm = np.sqrt(sum(float((np.asarray(g) ** 2).sum())
+                        for k, g in flat_g.items() if flat_mask[k]))
+    assert np.isfinite(gnorm) and gnorm > 0
+
+
+def test_sampling_pipeline_end_to_end():
+    from seed_story_tpu.pipelines.sdxl_pipeline import (
+        SDXLImagePipeline,
+        SDXLSampleConfig,
+    )
+
+    acfg = SDXLAdapterConfig.tiny()
+    adapter = SDXLAdapter(acfg)
+    b = 1
+    init_args = dict(
+        noisy_latents=jnp.zeros((b, 8, 8, 4)),
+        timesteps=jnp.array([3]),
+        image_embeds=jnp.zeros((b, 9, acfg.embedding_dim)),
+        time_ids=jnp.ones((b, 6)),
+        noise=jnp.zeros((b, 8, 8, 4)),
+    )
+    adapter_params = adapter.init(jax.random.PRNGKey(0), **init_args)["params"]
+
+    vcfg = VAEConfig.tiny()
+    vae = AutoencoderKL(vcfg)
+    vae_params = vae.init(
+        jax.random.PRNGKey(1), jnp.zeros((1, 32, 32, 3))
+    )["params"]
+
+    pipe = SDXLImagePipeline(
+        adapter, adapter_params, vae, vae_params,
+        cfg=SDXLSampleConfig(height=32, width=32, num_inference_steps=4,
+                             vae_scale=2),
+    )
+    feats = np.random.RandomState(0).randn(1, 9, acfg.embedding_dim).astype(np.float32)
+    neg = np.zeros_like(feats)
+    imgs = pipe.generate(feats, neg, seed=7)
+    assert imgs.shape == (1, 32, 32, 3)
+    assert imgs.dtype == np.uint8
+    # deterministic given the seed
+    imgs2 = pipe.generate(feats, neg, seed=7)
+    np.testing.assert_array_equal(imgs, imgs2)
