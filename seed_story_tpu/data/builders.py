@@ -1,0 +1,146 @@
+"""Datapipe builders with the reference's exact config surface.
+
+Mirror of /root/reference/src/data/story_telling.py:336,560,616 —
+``build_long_story_datapipe`` / ``build_t2i_datapipe`` /
+``build_multi_datapipes`` keyword-for-keyword, so the shipped YAML configs
+(configs/data/george_sft.yaml etc.) instantiate unchanged, returning our
+iterator pipeline instead of torchdata datapipes.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Iterable, List, Optional
+
+from .datapipes import JsonlStoryDataset, batched, sample_multiplexer
+from .story_telling import (
+    StoryDecodeConfig,
+    decode_long_story_sample,
+    decode_t2i_sample,
+)
+
+
+class StoryDataPipe:
+    """Iterable of collated batches (or raw samples when batch_size=None)."""
+
+    def __init__(self, dataset: JsonlStoryDataset, batch_size: Optional[int]):
+        self.dataset = dataset
+        self.batch_size = batch_size
+
+    def __iter__(self):
+        if self.batch_size is None:
+            return iter(self.dataset)
+        return batched(iter(self.dataset), self.batch_size)
+
+
+def build_long_story_datapipe(
+    data_dir,
+    image_dir,
+    tokenizer=None,
+    story_len=30,
+    max_length=77,
+    batch_size=None,
+    min_resolution=180,
+    image_transform=None,
+    sd_image_transform=None,
+    instruction_prompt="{instruction}",
+    turn_sep="\n",
+    system_message="",
+    min_aspect_ratio=0.666,
+    num_img_in_tokens=64,
+    num_img_out_tokens=64,
+    cycle_count=None,
+    seed=0,
+    max_images=None,
+) -> StoryDataPipe:
+    cfg = StoryDecodeConfig(
+        story_len=story_len,
+        max_length=max_length,
+        max_images=max_images or story_len,
+        num_img_in_tokens=num_img_in_tokens,
+        num_img_out_tokens=num_img_out_tokens,
+        instruction_prompt=instruction_prompt,
+        system_message=system_message,
+        turn_sep=turn_sep,
+        min_resolution=min_resolution,
+        min_aspect_ratio=min_aspect_ratio,
+    )
+    decode = functools.partial(
+        decode_long_story_sample,
+        image_dir=image_dir,
+        tokenizer=tokenizer,
+        cfg=cfg,
+        image_transform=image_transform,
+        sd_image_transform=sd_image_transform,
+    )
+    ds = JsonlStoryDataset(data_dir, decode, cycle_count=cycle_count or 1, seed=seed)
+    return StoryDataPipe(ds, batch_size)
+
+
+def build_t2i_datapipe(
+    data_dir,
+    image_dir,
+    tokenizer=None,
+    max_length=77,
+    batch_size=None,
+    min_resolution=180,
+    image_transform=None,
+    sd_image_transform=None,
+    instruction_prompt="[INST] {instruction} [INST]\n",
+    turn_sep="\n",
+    system_message="",
+    min_aspect_ratio=0.666,
+    num_img_in_tokens=64,
+    num_img_out_tokens=64,
+    cycle_count=None,
+    seed=0,
+    max_images: int = 1,
+) -> StoryDataPipe:
+    cfg = StoryDecodeConfig(
+        max_length=max_length,
+        max_images=max_images,
+        num_img_in_tokens=num_img_in_tokens,
+        num_img_out_tokens=num_img_out_tokens,
+        system_message=system_message,
+        turn_sep=turn_sep,
+        min_resolution=min_resolution,
+        min_aspect_ratio=min_aspect_ratio,
+    )
+    decode = functools.partial(
+        decode_t2i_sample,
+        image_dir=image_dir,
+        tokenizer=tokenizer,
+        cfg=cfg,
+        image_transform=image_transform,
+        sd_image_transform=sd_image_transform,
+        instruction_prompt=instruction_prompt,
+    )
+    ds = JsonlStoryDataset(data_dir, decode, cycle_count=cycle_count or 1, seed=seed)
+    return StoryDataPipe(ds, batch_size)
+
+
+def build_multi_datapipes(
+    datapipes: List,
+    tokenizer=None,
+    image_transform=None,
+    sd_image_transform=None,
+    sample_weights=None,
+    seed=0,
+):
+    """Weighted mix (== torchdata SampleMultiplexer, reference :616-634).
+    ``datapipes`` entries may be dict configs (deferred instantiation —
+    the reference uses _recursive_: False) or built pipes."""
+    from ..utils.config import instantiate
+
+    built = []
+    for dp in datapipes:
+        if isinstance(dp, dict):
+            dp = instantiate(
+                dp, tokenizer=tokenizer, image_transform=image_transform,
+                sd_image_transform=sd_image_transform,
+            )
+        built.append(dp)
+    if sample_weights is None:
+        sample_weights = [1.0] * len(built)
+    assert len(sample_weights) == len(built)
+    return sample_multiplexer(built, sample_weights, seed=seed)

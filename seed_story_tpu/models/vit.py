@@ -154,7 +154,7 @@ class VisionTransformerWithAttnPool(nn.Module):
         x = Resampler(
             grid_size=int(math.sqrt(cfg.n_queries)),
             embed_dim=cfg.output_dim,
-            num_heads=cfg.output_dim // 128,
+            num_heads=max(1, cfg.output_dim // 128),
             kv_dim=cfg.width,
             ln_eps=cfg.ln_eps,
             dtype=cfg.dtype,

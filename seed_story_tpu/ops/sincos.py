@@ -40,6 +40,10 @@ def interpolate_abs_pos(abs_pos: jax.Array, tgt_len: int) -> jax.Array:
     """Bicubic-resample a (L, C) square-grid pos-emb to tgt_len positions."""
     src = int(np.sqrt(abs_pos.shape[0]))
     tgt = int(np.sqrt(tgt_len))
+    assert tgt * tgt == tgt_len, (
+        f"pos-emb interpolation needs a square token count, got {tgt_len} "
+        "(the reference's get_abs_pos has the same constraint)"
+    )
     if src == tgt:
         return abs_pos
     c = abs_pos.shape[-1]

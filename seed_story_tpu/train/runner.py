@@ -1,0 +1,127 @@
+"""Shared training-loop runner for the three stage entry points.
+
+The reference triplicates this loop across train.py / train_clm_sft.py /
+train_sdxl_img2img_llm.py (SURVEY §2.5); here each stage supplies a
+loss_fn + init params and the runner owns: mesh + sharding, optimizer,
+device prefetch, metrics, profiler, checkpoint/resume with data-order
+restore, and the progress line.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Any, Callable, Dict, Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..parallel.mesh import make_mesh
+from .checkpoint import CheckpointManager
+from .metrics import MetricsWriter, Profiler, Throughput, log, setup_logging
+from .trainer import TrainConfig, Trainer, TrainState
+
+
+@dataclasses.dataclass
+class RunnerArgs:
+    output_dir: str = "output"
+    max_steps: int = 6000
+    save_steps: int = 1000
+    log_steps: int = 10
+    resume_from_checkpoint: Optional[str] = None
+    seed: int = 42
+    profile_start: int = -1
+    profile_stop: int = -1
+    mesh_data: Optional[int] = None
+    mesh_model: int = 1
+    use_wandb: bool = False
+
+
+def run_training(
+    args: RunnerArgs,
+    train_cfg: TrainConfig,
+    abstract_params,
+    init_params_fn: Callable[[], Any],
+    loss_fn: Callable,
+    batch_iterator: Iterator[Dict[str, np.ndarray]],
+    trainable_mask=None,
+    batch_transform: Optional[Callable] = None,
+    host_metrics_fn: Optional[Callable] = None,
+    config_record: Optional[Dict] = None,
+):
+    setup_logging()
+    from ..utils.cache import enable_compile_cache
+
+    enable_compile_cache()
+    mesh = make_mesh(data=args.mesh_data, model=args.mesh_model)
+    log.info("mesh: %s; devices: %d", dict(mesh.shape), len(jax.devices()))
+
+    trainer = Trainer(mesh, abstract_params, loss_fn, train_cfg, trainable_mask)
+    writer = MetricsWriter(args.output_dir, use_wandb=args.use_wandb,
+                           config=config_record)
+    profiler = Profiler(args.output_dir, args.profile_start, args.profile_stop)
+    ckpt = CheckpointManager(args.output_dir)
+
+    with mesh:
+        state = trainer.init_state(init_params_fn())
+        start_step = 0
+        if args.resume_from_checkpoint:
+            restore_dir = args.resume_from_checkpoint
+            mgr = ckpt if restore_dir == args.output_dir else CheckpointManager(restore_dir)
+            state, data_state = mgr.restore(state)
+            start_step = int(state.step)
+            log.info("resumed from step %d", start_step)
+
+        rng = jax.random.PRNGKey(args.seed)
+        throughput = Throughput()
+        t_start = time.time()
+        step = start_step
+
+        if train_cfg.grad_accum_steps > 1:
+            # stack N consecutive microbatches -> leaves (accum, micro, ...)
+            def stacked(it, n):
+                import itertools as _it
+
+                while True:
+                    group = list(_it.islice(it, n))
+                    if len(group) < n:
+                        return
+                    yield {
+                        k: np.stack([g[k] for g in group]) for k in group[0]
+                    }
+
+            batch_iterator = stacked(iter(batch_iterator), train_cfg.grad_accum_steps)
+
+        for batch in batch_iterator:
+            if step >= args.max_steps:
+                break
+            if batch_transform is not None:
+                batch = batch_transform(batch)
+            rng, step_rng = jax.random.split(rng)
+            state, metrics = trainer.step(state, batch, step_rng)
+            step += 1
+
+            profiler.maybe_step(step)
+            if step % args.log_steps == 0 or step == 1:
+                host = {k: float(v) for k, v in metrics.items()}
+                host.update(throughput.tick())
+                if host_metrics_fn is not None:
+                    host.update(host_metrics_fn(batch, metrics))
+                writer.log(host, step)
+                log.info(
+                    "step %d/%d  loss %.4f  %s", step, args.max_steps,
+                    host.get("loss", float("nan")),
+                    "  ".join(f"{k} {v:.4g}" for k, v in host.items()
+                              if k not in ("loss",)),
+                )
+            if step % args.save_steps == 0:
+                ckpt.save(step, state)
+                log.info("saved checkpoint @ step %d", step)
+
+        ckpt.save(step, state)
+        ckpt.wait()
+        writer.close()
+        profiler.close()
+        log.info("done: %d steps in %.1fs", step - start_step, time.time() - t_start)
+    return state
