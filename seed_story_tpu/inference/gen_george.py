@@ -1,0 +1,103 @@
+"""Story generation CLI — the gen_george.py entry point.
+
+Mirror of /root/reference/src/inference/gen_george.py:152-270: for each
+val story, seed with (first frame, first caption), autoregressively
+generate up to 25 interleaved (text, image) segments with window-8
+eviction, saving per-story folders with subtitled JPGs + text.txt.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+from PIL import Image
+
+from ..pipelines.story_generation import (
+    StoryGenerationPipeline,
+    StoryPipelineConfig,
+)
+from .common import add_subtitle, build_stack, read_jsonl
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--tokenizer", default="configs/tokenizer/clm_llama_tokenizer.yaml")
+    p.add_argument("--image_transform", default="configs/processer/qwen_448_transform.yaml")
+    p.add_argument("--visual_encoder", default="configs/visual_tokenizer/qwen_vitg_448.yaml")
+    p.add_argument("--llm_model", default="configs/clm_models/llama2chat7b_lora.yaml")
+    p.add_argument("--agent_model", default="configs/clm_models/agent_7b_sft.yaml")
+    p.add_argument("--adapter", default="configs/detokenizer/detokenizer_sdxl_qwen_vit_adapted.yaml")
+    p.add_argument("--vae_config", default=None)
+    p.add_argument("--agent_ckpt", default=None)
+    p.add_argument("--vit_ckpt", default=None)
+    p.add_argument("--adapter_ckpt", default=None)
+    p.add_argument("--vae_ckpt", default=None)
+    p.add_argument("--val_jsonl", default="data/json/val.jsonl")
+    p.add_argument("--image_root", default="data/image/george_full")
+    p.add_argument("--save_dir", default="output")
+    p.add_argument("--story_len", type=int, default=25)
+    p.add_argument("--window_size", type=int, default=8)
+    p.add_argument("--max_new_tokens", type=int, default=500)
+    p.add_argument("--num_inference_steps", type=int, default=50)
+    p.add_argument("--image_size", type=int, default=1024)
+    p.add_argument("--no_images", action="store_true",
+                   help="skip the SDXL de-tokenizer (text-only debugging)")
+    p.add_argument("--force_boi_at", type=int, default=None)
+    p.add_argument("--max_stories", type=int, default=None)
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    stack = build_stack(
+        args.tokenizer, args.image_transform, args.visual_encoder,
+        args.llm_model, args.agent_model,
+        adapter_cfg_path=None if args.no_images else args.adapter,
+        agent_ckpt=args.agent_ckpt, vit_ckpt=args.vit_ckpt,
+        adapter_ckpt=args.adapter_ckpt, vae_ckpt=args.vae_ckpt,
+        vae_cfg_path=args.vae_config,
+        max_new_tokens=args.max_new_tokens,
+        num_inference_steps=args.num_inference_steps,
+        image_size=args.image_size,
+        force_boi_at=args.force_boi_at,
+    )
+
+    pipe = StoryGenerationPipeline(
+        stack.tokenizer, stack.generator, stack.visual_encode,
+        stack.detokenize,
+        StoryPipelineConfig(
+            story_len=args.story_len, window_size=args.window_size,
+            num_img_in_tokens=stack.num_img_in_tokens,
+        ),
+    )
+
+    data = read_jsonl(args.val_jsonl)
+    if args.max_stories:
+        data = data[: args.max_stories]
+    for j, d in enumerate(data):
+        image_path = os.path.join(args.image_root, d["images"][0])
+        question = d["captions"][0]
+        image = Image.open(image_path).convert("RGB")
+        save_folder = os.path.join(args.save_dir, f"val_{j}")
+        os.makedirs(save_folder, exist_ok=True)
+        add_subtitle(image, question).save(
+            os.path.join(save_folder, "000start_image.jpg"))
+
+        pixels = stack.image_transform(image)[None]
+        for seg in pipe.run(pixels, question):
+            with open(os.path.join(save_folder, "text.txt"), "a+") as f:
+                f.write(seg.text + "\n")
+            with open(os.path.join(save_folder, "token.txt"), "a+") as f:
+                f.write(f"context token: (1, {seg.context_tokens})\n")
+            print(f"[val_{j}] segment {seg.index}: {seg.text[:80]}")
+            if seg.image is not None:
+                seg.image.save(
+                    os.path.join(save_folder, f"ori_{seg.index:02d}.jpg"))
+                add_subtitle(seg.image, seg.text).save(
+                    os.path.join(save_folder, f"{seg.index:02d}.jpg"))
+
+
+if __name__ == "__main__":
+    main()

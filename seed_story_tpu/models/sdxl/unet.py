@@ -43,6 +43,8 @@ class SDXLUNetConfig:
     transformer_layers_per_block: Tuple[int, ...] = (1, 2, 10)
     attention_head_dim: int = 64
     cross_attention_dim: int = 2048
+    # 'text_time' (SDXL) or None (SD-1.5-style: no added conditioning)
+    addition_embed_type: Optional[str] = "text_time"
     addition_time_embed_dim: int = 256
     projection_class_embeddings_input_dim: int = 2816  # 6*256 + 1280
     pooled_projection_dim: int = 1280
@@ -266,11 +268,11 @@ class UNet2DConditionModel(nn.Module):
     @nn.compact
     def __call__(
         self,
-        sample: jax.Array,  # (B, H, W, 4) NHWC latents
+        sample: jax.Array,  # (B, H, W, in_channels) NHWC latents
         timesteps: jax.Array,  # (B,) or scalar
         encoder_hidden_states: jax.Array,  # (B, L, cross_dim)
-        time_ids: jax.Array,  # (B, 6)
-        text_embeds: jax.Array,  # (B, pooled_dim)
+        time_ids: Optional[jax.Array] = None,  # (B, 6) [text_time only]
+        text_embeds: Optional[jax.Array] = None,  # (B, pooled_dim)
     ) -> jax.Array:
         cfg = self.cfg
         ch = cfg.block_out_channels
@@ -282,13 +284,14 @@ class UNet2DConditionModel(nn.Module):
         t_emb = get_timestep_embedding(timesteps, ch[0])
         emb = TimestepEmbedding(cfg.time_embed_dim, cfg.dtype, cfg.param_dtype,
                                 name="time_embedding")(t_emb.astype(cfg.dtype))
-        aug = get_timestep_embedding(
-            time_ids.reshape(-1), cfg.addition_time_embed_dim
-        ).reshape(b, -1)
-        aug = jnp.concatenate([text_embeds.astype(jnp.float32), aug], axis=-1)
-        aug = TimestepEmbedding(cfg.time_embed_dim, cfg.dtype, cfg.param_dtype,
-                                name="add_embedding")(aug.astype(cfg.dtype))
-        emb = emb + aug
+        if cfg.addition_embed_type == "text_time":
+            aug = get_timestep_embedding(
+                time_ids.reshape(-1), cfg.addition_time_embed_dim
+            ).reshape(b, -1)
+            aug = jnp.concatenate([text_embeds.astype(jnp.float32), aug], axis=-1)
+            aug = TimestepEmbedding(cfg.time_embed_dim, cfg.dtype, cfg.param_dtype,
+                                    name="add_embedding")(aug.astype(cfg.dtype))
+            emb = emb + aug
 
         context = encoder_hidden_states.astype(cfg.dtype)
         x = nn.Conv(ch[0], (3, 3), padding=1, dtype=cfg.dtype,

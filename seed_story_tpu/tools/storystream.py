@@ -1,0 +1,168 @@
+"""StoryStream dataset construction + chunking tools.
+
+Port of /root/reference/StoryStream/: GPT-4(-V) pipelines that build
+story-format jsonl from keyframes, and the re-chunker that splits 30-frame
+stories into 10-frame training samples (chunk_data.py:24-45). The custom
+``{{name->story@@...}}`` output grammar parser (build_story_v2.py:167-192)
+is preserved verbatim in behavior.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+from typing import Dict, List, Optional
+
+from ..eval.gpt_score_eval import api_call, default_client, encode_image
+
+
+# ---------------------------------------------------------------------
+# chunk_data.py
+# ---------------------------------------------------------------------
+
+
+def split_entries(entries: List[Dict], chunk_size: int = 10) -> List[Dict]:
+    """30-frame stories -> chunk_size-frame samples, dropping ragged tails
+    (reference chunk_data.py:4-22)."""
+    out = []
+    for idx, entry in enumerate(entries):
+        images, captions = entry["images"], entry["captions"]
+        if len(images) != len(captions):
+            continue
+        for i in range(0, len(images), chunk_size):
+            ci, cc = images[i : i + chunk_size], captions[i : i + chunk_size]
+            if len(ci) == chunk_size and len(cc) == chunk_size:
+                out.append({"id": idx, "images": ci, "captions": cc})
+    return out
+
+
+def chunk_files(input_pattern: str, output_file: str, chunk_size: int = 10):
+    entries = []
+    for path in glob.glob(input_pattern):
+        with open(path, encoding="utf-8") as f:
+            entries.extend(json.loads(line) for line in f if line.strip())
+    chunks = split_entries(entries, chunk_size)
+    with open(output_file, "w", encoding="utf-8") as f:
+        for e in chunks:
+            f.write(json.dumps(e) + "\n")
+    return len(chunks)
+
+
+# ---------------------------------------------------------------------
+# build_story_v2.py
+# ---------------------------------------------------------------------
+
+STORY_GRAMMAR = re.compile(r"\{\{(.*?)\}\}", re.S)
+
+
+def convert_to_jsonl(input_string: str) -> Optional[str]:
+    """Parse the '{{img->caption@@img->caption...}}' grammar
+    (reference build_story_v2.py:167-192)."""
+    m = STORY_GRAMMAR.search(input_string)
+    if not m:
+        return None
+    images, captions = [], []
+    for entry in m.group(1).split("@@"):
+        if "->" in entry:
+            image, caption = entry.split("->", 1)
+            images.append(image.strip())
+            captions.append(caption.strip())
+    return json.dumps({"images": images, "captions": captions})
+
+
+def find_jpg_files(directory: str) -> List[str]:
+    """Natural-sorted recursive jpg listing (reference :196-211)."""
+    jpgs = []
+    for root, _, files in os.walk(directory):
+        jpgs += [os.path.join(root, f) for f in files if f.endswith(".jpg")]
+
+    def natural(s):
+        return sum(((t, int(n)) for t, n in re.findall(r"(\D+)(\d+)", "a%s0" % s)), ())
+
+    return sorted(jpgs, key=lambda x: natural(x.split("/")[-1]))
+
+
+BUILD_PROMPT = (
+    "You are given {n} consecutive keyframes of an animated story. Write a "
+    "children's story: for each image, produce one narrative sentence that "
+    "continues the story and names recurring characters consistently. "
+    "Output STRICTLY in the format "
+    "{{{{image_name->story sentence@@image_name->story sentence@@...}}}} "
+    "with one entry per image, in order."
+)
+
+LINK_PROMPT = (
+    "You are given {n} story fragments about the same characters. Rewrite "
+    "them into ONE coherent long story, keeping one sentence per image and "
+    "the same strict output format "
+    "{{{{image_name->story sentence@@...}}}}. Fragments:\n{fragments}"
+)
+
+
+def construct_dataset(image_batch: List[str], pool: List[str],
+                      client=None, model="gpt-4-turbo-2024-04-09") -> Optional[str]:
+    """One GPT-4V call over a 10-image batch -> raw grammar string."""
+    client = client or default_client()
+    content = [{"type": "text", "text": BUILD_PROMPT.format(n=len(image_batch))}]
+    for p in image_batch:
+        content.append({"type": "text", "text": os.path.basename(p)})
+        content.append({
+            "type": "image_url",
+            "image_url": {"url": "data:image/jpeg;base64," + encode_image(p)},
+        })
+    return api_call(client, [{"role": "user", "content": content}], model=model)
+
+
+def link_dataset(pool: List[str], client=None,
+                 model="gpt-4-turbo-2024-04-09") -> Optional[str]:
+    """Link 3 x 10-frame fragments into one 30-frame story (reference
+    :214-240)."""
+    client = client or default_client()
+    prompt = LINK_PROMPT.format(n=len(pool), fragments="\n---\n".join(pool))
+    return api_call(client, [{"role": "user", "content": prompt}], model=model)
+
+
+def build_stories(image_dir: str, output_path: str, client=None,
+                  batch: int = 10, pool_size: int = 3) -> int:
+    """Full v2 pipeline (reference main(), :214-240)."""
+    client = client or default_client()
+    images = find_jpg_files(image_dir)
+    os.makedirs(os.path.dirname(output_path) or ".", exist_ok=True)
+    pool: List[str] = []
+    written = 0
+    for i in range(0, len(images), batch):
+        story = construct_dataset(images[i : i + batch], pool, client=client)
+        if story is None:
+            continue
+        pool.append(story)
+        if len(pool) >= pool_size:
+            linked = link_dataset(pool, client=client)
+            if linked is not None:
+                line = convert_to_jsonl(linked)
+                if line is not None:
+                    with open(output_path, "a+") as f:
+                        f.write(line + "\n")
+                    written += 1
+            pool = []
+    return written
+
+
+if __name__ == "__main__":
+    import argparse
+
+    p = argparse.ArgumentParser()
+    sub = p.add_subparsers(dest="cmd", required=True)
+    c = sub.add_parser("chunk")
+    c.add_argument("--input", required=True)
+    c.add_argument("--output", required=True)
+    c.add_argument("--chunk_size", type=int, default=10)
+    b = sub.add_parser("build")
+    b.add_argument("--image_dir", required=True)
+    b.add_argument("--output", required=True)
+    a = p.parse_args()
+    if a.cmd == "chunk":
+        print(chunk_files(a.input, a.output, a.chunk_size), "chunks written")
+    else:
+        print(build_stories(a.image_dir, a.output), "stories written")

@@ -1,0 +1,100 @@
+"""IP-Adapter processors + auxiliary adapters: decoupled-attention math,
+SD-1.5-style UNet (no added conds), latent-image conditioning."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from seed_story_tpu.models.ipa_adapters import (
+    EditAdapterConfig,
+    IPAdapterConfig,
+    IPAdapterSD,
+    IPCrossAttention,
+    SDXLAdapterWithLatentImage,
+)
+from seed_story_tpu.models.sdxl.unet import SDXLUNetConfig
+
+
+def test_ip_cross_attention_decoupling():
+    m = IPCrossAttention(query_dim=32, heads=2, dim_head=16,
+                         text_context_len=5, scale=0.0)
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 7, 32))
+    ctx = jax.random.normal(jax.random.PRNGKey(1), (1, 5 + 3, 32))
+    params = m.init(jax.random.PRNGKey(2), x, ctx)["params"]
+    assert "to_k_ip" in params and "to_v_ip" in params
+    # scale=0 -> image tokens contribute nothing; changing them is a no-op
+    out0 = m.apply({"params": params}, x, ctx)
+    ctx2 = ctx.at[:, 5:].set(123.0)
+    out1 = m.apply({"params": params}, x, ctx2)
+    np.testing.assert_allclose(np.asarray(out0), np.asarray(out1), rtol=1e-6)
+
+    # scale=1 -> they do contribute
+    m1 = IPCrossAttention(query_dim=32, heads=2, dim_head=16,
+                          text_context_len=5, scale=1.0)
+    out2 = m1.apply({"params": params}, x, ctx)
+    out3 = m1.apply({"params": params}, x, ctx2)
+    assert np.abs(np.asarray(out2) - np.asarray(out3)).max() > 1e-3
+
+
+def test_ip_adapter_sd15_style_unet():
+    cfg = IPAdapterConfig(
+        unet=SDXLUNetConfig(
+            block_out_channels=(16, 32),
+            down_block_types=("CrossAttnDownBlock2D", "DownBlock2D"),
+            up_block_types=("UpBlock2D", "CrossAttnUpBlock2D"),
+            transformer_layers_per_block=(1, 1),
+            attention_head_dim=8,
+            cross_attention_dim=24,
+            addition_embed_type=None,
+            norm_num_groups=8,
+            dtype=jnp.float32,
+        ),
+        image_embedding_dim=48,
+        num_image_tokens=4,
+        resampler_depth=1,
+    )
+    m = IPAdapterSD(cfg)
+    args = dict(
+        noisy_latents=jax.random.normal(jax.random.PRNGKey(0), (1, 8, 8, 4)),
+        timesteps=jnp.array([5]),
+        text_embeds=jax.random.normal(jax.random.PRNGKey(1), (1, 7, 24)),
+        image_embeds=jax.random.normal(jax.random.PRNGKey(2), (1, 10, 48)),
+        noise=jnp.zeros((1, 8, 8, 4)),
+    )
+    params = m.init(jax.random.PRNGKey(3), **args)["params"]
+    # SD-1.5 style: no add_embedding in the tree
+    assert "add_embedding" not in params["unet"]
+    out = m.apply({"params": params}, **args)
+    assert np.isfinite(float(out["total_loss"]))
+    assert out["noise_pred"].shape == (1, 8, 8, 4)
+
+
+def test_latent_image_adapter():
+    cfg = EditAdapterConfig(
+        unet=SDXLUNetConfig(
+            in_channels=8,
+            block_out_channels=(16, 32, 32),
+            transformer_layers_per_block=(1, 1, 1),
+            attention_head_dim=8,
+            cross_attention_dim=32,
+            addition_time_embed_dim=8,
+            projection_class_embeddings_input_dim=8 * 6 + 64,
+            pooled_projection_dim=64,
+            norm_num_groups=8,
+            dtype=jnp.float32,
+        )
+    )
+    m = SDXLAdapterWithLatentImage(cfg)
+    args = dict(
+        noisy_latents=jnp.zeros((1, 8, 8, 4)),
+        latent_image=jnp.ones((1, 8, 8, 4)),
+        timesteps=jnp.array([3]),
+        prompt_embeds=jnp.zeros((1, 6, 32)),
+        pooled=jnp.zeros((1, 64)),
+        time_ids=jnp.ones((1, 6)),
+        noise=jnp.zeros((1, 8, 8, 4)),
+    )
+    params = m.init(jax.random.PRNGKey(0), **args)["params"]
+    out = m.apply({"params": params}, **args)
+    assert out["noise_pred"].shape == (1, 8, 8, 4)
+    assert np.isfinite(float(out["total_loss"]))
