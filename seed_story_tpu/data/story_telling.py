@@ -167,7 +167,9 @@ def decode_long_story_sample(
         from PIL import Image
 
         def image_opener(path):
-            return Image.open(path).convert("RGB")
+            # lazy open (header only); transforms convert to RGB themselves,
+            # and keeping .filename lets the native C++ loader short-circuit
+            return Image.open(path)
 
     try:
         pil_images = []
@@ -260,7 +262,7 @@ def decode_t2i_sample(
         from PIL import Image
 
         def image_opener(path):
-            return Image.open(path).convert("RGB")
+            return Image.open(path)
 
     try:
         img = image_opener(os.path.join(image_dir, value["image"]))

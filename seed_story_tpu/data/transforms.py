@@ -48,12 +48,13 @@ class ImageTransform:
 
     def __call__(self, img: Image.Image) -> np.ndarray:
         size = self.image_size
+        img = img.convert("RGB")  # reference converts before transforming
         if self.keep_ratio:
             img = _resize_shorter(img, size, self.resample)
             img = _center_crop(img, size)
         else:
             img = img.resize((size, size), self.resample)
-        x = np.asarray(img.convert("RGB"), np.float32) / 255.0  # HWC
+        x = np.asarray(img, np.float32) / 255.0  # HWC
         if self.type == "clip":
             x = (x - CLIP_MEAN) / CLIP_STD
         elif self.type == "clipa":
