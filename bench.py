@@ -1,14 +1,16 @@
-"""Benchmark: story segments/min on the real TPU chip.
+"""Benchmark: story segments/min (text + 1024px image) on the real TPU chip.
 
-Runs the story-generation pipeline (MLLM decode with forced image blocks +
-feature feedback + window eviction; de-tokenizer stubbed until the SDXL
-port lands) and prints ONE JSON line:
+Runs the story-generation pipeline end-to-end: MLLM decode (forced image
+blocks, feature feedback, window eviction) + the FULL SDXL-base 1024px
+50-step CFG de-tokenizer per segment. Prints ONE JSON line:
 
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
 Scale via env:
   SEED_STORY_BENCH_PRESET = pico | small (default) | full
-  SEED_STORY_BENCH_SEGMENTS (default 6)
+  SEED_STORY_BENCH_SEGMENTS (default 4)
+  SEED_STORY_BENCH_SDXL = 1 (default) | 0 (stub the de-tokenizer)
+  SEED_STORY_BENCH_STEPS = 50 (SDXL denoise steps)
 """
 
 import json
@@ -110,8 +112,51 @@ def main():
     def visual_encode(pixels):
         return rng.randn(1, acfg.num_vit_tokens, acfg.vit_dim).astype(np.float32)
 
-    def detokenize(feats):  # SDXL stub until the de-tokenizer port lands
-        return np.zeros((8, 8, 3), np.uint8)
+    use_sdxl = os.environ.get("SEED_STORY_BENCH_SDXL", "1") == "1" and preset != "pico"
+    sdxl_steps = int(os.environ.get("SEED_STORY_BENCH_STEPS", "50"))
+    if use_sdxl:
+        import flax.linen as nn
+
+        from seed_story_tpu.models.sdxl.adapter import SDXLAdapter, SDXLAdapterConfig
+        from seed_story_tpu.models.sdxl.vae import AutoencoderKL, VAEConfig
+        from seed_story_tpu.pipelines.sdxl_pipeline import (
+            SDXLImagePipeline,
+            SDXLSampleConfig,
+        )
+
+        from seed_story_tpu.models.sdxl.unet import SDXLUNetConfig
+
+        # inference-only: bf16 params (full SDXL f32 params are 10.4GB and
+        # don't fit next to the MLLM on one 16GB chip)
+        sdxl_cfg = SDXLAdapterConfig(
+            embedding_dim=acfg.vit_dim,
+            unet=SDXLUNetConfig(param_dtype=jnp.bfloat16),
+        )
+        sdxl = SDXLAdapter(sdxl_cfg)
+        b = 1
+        sdxl_params = nn.meta.unbox(jax.jit(lambda: sdxl.init(
+            jax.random.PRNGKey(2),
+            noisy_latents=jnp.zeros((b, 128, 128, 4), jnp.bfloat16),
+            timesteps=jnp.zeros((b,), jnp.int32),
+            image_embeds=jnp.zeros((b, acfg.num_vit_tokens, acfg.vit_dim),
+                                   jnp.bfloat16),
+            time_ids=jnp.ones((b, 6)),
+            noise=jnp.zeros((b, 128, 128, 4), jnp.bfloat16))["params"])())
+        vae = AutoencoderKL(VAEConfig(dtype=jnp.bfloat16, param_dtype=jnp.bfloat16))
+        vae_params = nn.meta.unbox(jax.jit(lambda: vae.init(
+            jax.random.PRNGKey(3), jnp.zeros((1, 64, 64, 3)))["params"])())
+        sdxl_pipe = SDXLImagePipeline(
+            sdxl, sdxl_params, vae, vae_params,
+            cfg=SDXLSampleConfig(height=1024, width=1024,
+                                 num_inference_steps=sdxl_steps),
+        )
+        neg = np.zeros((1, acfg.num_vit_tokens, acfg.vit_dim), np.float32)
+
+        def detokenize(feats):
+            return sdxl_pipe.generate(np.asarray(feats, np.float32), neg)[0]
+    else:
+        def detokenize(feats):
+            return np.zeros((8, 8, 3), np.uint8)
 
     pipe_cfg = StoryPipelineConfig(
         story_len=n_segments + 1, window_size=window,
@@ -134,9 +179,11 @@ def main():
     n_done = sum(1 for s in segs if s.image is not None) or len(segs)
     segments_per_min = n_done / dt * 60.0
 
+    detok = (f"SDXL-base 1024px {sdxl_steps}-step CFG" if use_sdxl
+             else "detok stubbed")
     result = {
-        "metric": f"story segments/min (MLLM decode path, preset={preset}, "
-                  f"{max_new} new tokens/segment, single chip; SDXL detok stubbed)",
+        "metric": f"story segments/min (text+image; MLLM preset={preset}, "
+                  f"{max_new} new tokens/segment; {detok}; single v5e chip)",
         "value": round(segments_per_min, 2),
         "unit": "segments/min",
         "vs_baseline": 1.0,  # reference publishes no throughput (BASELINE.md)

@@ -127,3 +127,45 @@ def test_vis_pipeline_with_sink_eviction():
     assert len(segments) == 7, len(segments)
     assert len(images) == 7
     assert all(s.image is not None for s in segments)
+
+
+def test_vis_pipeline_25_segments():
+    """The headline capability: a 25-segment story through the sink cache
+    (window 8 -> 16 evictions; sink grows 4 + 24/eviction)."""
+    acfg = AgentConfig.tiny()
+    agent = ContinuousLVLM(acfg)
+    tok = TinyTokenizer()
+    seq, n = 64, 1
+    init_args = dict(
+        input_ids=jnp.ones((1, seq), jnp.int32),
+        attention_mask=jnp.ones((1, seq), jnp.int32),
+        labels=jnp.zeros((1, seq), jnp.int32),
+        image_embeds=jnp.zeros((n, acfg.num_vit_tokens, acfg.vit_dim)),
+        embeds_gen_mask=jnp.ones((n,), bool),
+        embeds_cmp_mask=jnp.ones((n,), bool),
+        ids_gen_mask=jnp.zeros((1, seq), bool).at[0, 10:19].set(True),
+        ids_cmp_mask=jnp.zeros((1, seq), bool).at[0, 30:34].set(True),
+    )
+    params = agent.init(jax.random.PRNGKey(7), **init_args)["params"]
+    gcfg = GenerateConfig(
+        max_new_tokens=16,
+        num_img_gen_tokens=acfg.num_img_out_tokens,
+        cache_capacity=2048,
+        prompt_bucket=64,
+        force_boi_at=1,
+    )
+    gen = StoryGenerator(agent, params, gcfg)
+
+    def visual_encode(pixels):
+        return np.zeros((1, acfg.num_vit_tokens, acfg.vit_dim), np.float32)
+
+    pipe = StoryVisualizationPipeline(
+        tok, gen, visual_encode, lambda f: np.zeros((2, 2, 3), np.uint8),
+        VisPipelineConfig(story_len=25, window_size=8,
+                          num_img_in_tokens=acfg.num_img_in_tokens),
+    )
+    texts = [f"scene {i}" for i in range(30)]
+    segments = list(pipe.run(np.zeros((1, 3, 8, 8), np.float32), "start", texts))
+    assert len(segments) == 24, len(segments)
+    # context (sink + live) stayed bounded well below the cache capacity
+    assert segments[-1].context_tokens < gcfg.cache_capacity
