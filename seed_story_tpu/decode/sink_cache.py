@@ -36,8 +36,8 @@ EOI_BACK, EOI_FWD = 8, 4
 def _compact(cache: KVCache, indices: jax.Array, new_len: jax.Array) -> KVCache:
     """Gather capacity-axis slots into a compacted cache. ``indices`` has
     static length == capacity (tail entries are don't-care)."""
-    k = jnp.take(cache.k, indices, axis=3)
-    v = jnp.take(cache.v, indices, axis=3)
+    k = tuple(jnp.take(layer, indices, axis=2) for layer in cache.k)
+    v = tuple(jnp.take(layer, indices, axis=2) for layer in cache.v)
     return KVCache(k=k, v=v, length=jnp.broadcast_to(new_len, cache.length.shape))
 
 

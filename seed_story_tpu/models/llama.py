@@ -91,25 +91,27 @@ class LlamaConfig:
 @dataclasses.dataclass
 class KVCache:
     """Fixed-capacity KV cache: one (B, kv_heads, capacity, head_dim) pair
-    per layer, plus the per-row fill level (== the reference's
-    ``kv_cache_head``)."""
+    PER LAYER (tuples, not a stacked array — per-layer buffers let XLA
+    alias the dynamic_update_slice in place across decode-loop carries
+    instead of re-materializing the whole cache every token), plus the
+    per-row fill level (== the reference's ``kv_cache_head``)."""
 
-    k: jax.Array  # (L, B, kv_heads, capacity, head_dim)
-    v: jax.Array
+    k: Tuple[jax.Array, ...]  # L x (B, kv_heads, capacity, head_dim)
+    v: Tuple[jax.Array, ...]
     length: jax.Array  # (B,) int32 — tokens already in the cache
 
     @classmethod
     def create(cls, cfg: LlamaConfig, batch: int, capacity: int, dtype=jnp.bfloat16):
-        shape = (cfg.num_hidden_layers, batch, cfg.kv_heads, capacity, cfg.head_dim)
+        shape = (batch, cfg.kv_heads, capacity, cfg.head_dim)
         return cls(
-            k=jnp.zeros(shape, dtype),
-            v=jnp.zeros(shape, dtype),
+            k=tuple(jnp.zeros(shape, dtype) for _ in range(cfg.num_hidden_layers)),
+            v=tuple(jnp.zeros(shape, dtype) for _ in range(cfg.num_hidden_layers)),
             length=jnp.zeros((batch,), jnp.int32),
         )
 
     @property
     def capacity(self) -> int:
-        return self.k.shape[3]
+        return self.k[0].shape[2]
 
 
 class RMSNorm(nn.Module):
@@ -254,10 +256,13 @@ class LlamaAttention(nn.Module):
             def insert(buf, new, st):
                 return jax.lax.dynamic_update_slice(buf, new, (0, st, 0))
 
-            k_buf = jax.vmap(insert)(cache.k[layer_idx], k.astype(cache.k.dtype), start)
-            v_buf = jax.vmap(insert)(cache.v[layer_idx], v.astype(cache.v.dtype), start)
+            k_buf = jax.vmap(insert)(cache.k[layer_idx], k.astype(cache.k[layer_idx].dtype), start)
+            v_buf = jax.vmap(insert)(cache.v[layer_idx], v.astype(cache.v[layer_idx].dtype), start)
             new_cache_slice = (k_buf, v_buf)
             new_len = seq_lengths if seq_lengths is not None else s
+            # single-token decode: two masked matvecs in plain XLA beat a
+            # Pallas kernel launch (measured ~15% faster per decode step)
+            impl = "xla" if s == 1 else "auto"
             out = mha(
                 q.astype(cfg.dtype),
                 k_buf.astype(cfg.dtype),
@@ -265,6 +270,7 @@ class LlamaAttention(nn.Module):
                 causal=True,
                 q_start=start,
                 kv_len=start + new_len,
+                implementation=impl,
             )
         else:
             kv_len = None
@@ -380,7 +386,7 @@ class LlamaModel(nn.Module):
         if cache is not None:
             adv = seq_lengths if seq_lengths is not None else x.shape[1]
             new_cache = KVCache(
-                k=jnp.stack(new_k), v=jnp.stack(new_v),
+                k=tuple(new_k), v=tuple(new_v),
                 length=cache.length + adv,
             )
         return x, new_cache

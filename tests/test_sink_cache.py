@@ -21,11 +21,14 @@ from seed_story_tpu.pipelines.story_visualization import (
 
 
 def _position_coded_cache(cfg, capacity, live_len):
-    """cache.k[..., slot, 0] == slot index -> we can read retained ids."""
+    """cache.k[l][..., slot, 0] == slot index -> we can read retained ids."""
     cache = KVCache.create(cfg, batch=1, capacity=capacity, dtype=jnp.float32)
-    pos = jnp.broadcast_to(
-        jnp.arange(capacity, dtype=jnp.float32)[None, None, None, :, None],
-        cache.k.shape,
+    pos = tuple(
+        jnp.broadcast_to(
+            jnp.arange(capacity, dtype=jnp.float32)[None, None, :, None],
+            layer.shape,
+        )
+        for layer in cache.k
     )
     return KVCache(k=pos, v=pos, length=jnp.array([live_len], jnp.int32))
 
@@ -54,7 +57,7 @@ def test_eviction_retained_set_matches_reference_policy():
 
     sink, tail = _simulate_reference_policy(list(range(live_len)), boi, eoi, True)
     expected = sink + tail
-    got = np.asarray(cache2.k[0, 0, 0, : len(expected), 0]).astype(int).tolist()
+    got = np.asarray(cache2.k[0][0, 0, : len(expected), 0]).astype(int).tolist()
     assert got == expected
     assert mgr.sink_len == len(sink)
     assert int(cache2.length[0]) == len(expected)
@@ -73,7 +76,7 @@ def test_eviction_retained_set_matches_reference_policy():
     new_sink_len = len(keep2)
     keep2 += list(range(s + eoi2 + 1, s + live_len2))
     expected2 = [prev[i] for i in keep2]
-    got2 = np.asarray(cache3.k[0, 0, 0, : len(expected2), 0]).astype(int).tolist()
+    got2 = np.asarray(cache3.k[0][0, 0, : len(expected2), 0]).astype(int).tolist()
     assert got2 == expected2
     assert mgr.sink_len == new_sink_len
 
