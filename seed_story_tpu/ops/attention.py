@@ -116,6 +116,7 @@ def _flash_fwd_kernel(
     v_ref,
     # outputs
     o_ref,
+    lse_ref,
     # scratch
     m_ref,
     l_ref,
@@ -194,8 +195,10 @@ def _flash_fwd_kernel(
     def _finalize():
         # Guard against fully-masked rows (l == 0).
         l = l_ref[:]
-        l = jnp.where(l == 0.0, 1.0, l)
-        o_ref[0, 0] = (acc_ref[:] / l).astype(o_ref.dtype)
+        safe_l = jnp.where(l == 0.0, 1.0, l)
+        o_ref[0, 0] = (acc_ref[:] / safe_l).astype(o_ref.dtype)
+        lse = jnp.where(l > 0.0, m_ref[:] + jnp.log(safe_l), -jnp.inf)
+        lse_ref[0, 0] = lse  # (block_q, 1)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -244,7 +247,7 @@ def _flash_fwd(
         skv=skv,
     )
 
-    out = pl.pallas_call(
+    out, lse = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
@@ -262,8 +265,13 @@ def _flash_fwd(
                     lambda b, h, iq, ik, *_, g=group: (b, h // g, ik, 0),
                 ),
             ],
-            out_specs=pl.BlockSpec(
-                (1, 1, block_q, d_p), lambda b, h, iq, ik, *_: (b, h, iq, 0)
+            out_specs=(
+                pl.BlockSpec(
+                    (1, 1, block_q, d_p), lambda b, h, iq, ik, *_: (b, h, iq, 0)
+                ),
+                pl.BlockSpec(
+                    (1, 1, block_q, 1), lambda b, h, iq, ik, *_: (b, h, iq, 0)
+                ),
             ),
             scratch_shapes=[
                 pltpu.VMEM((block_q, 1), jnp.float32),
@@ -271,7 +279,10 @@ def _flash_fwd(
                 pltpu.VMEM((block_q, d_p), jnp.float32),
             ],
         ),
-        out_shape=jax.ShapeDtypeStruct((b, hq, sq_p, d_p), q.dtype),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, hq, sq_p, d_p), q.dtype),
+            jax.ShapeDtypeStruct((b, hq, sq_p, 1), jnp.float32),
+        ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
         ),
@@ -285,7 +296,237 @@ def _flash_fwd(
 
     if sq_p != sq or d_p != d:
         out = out[:, :, :sq, :d]
-    return out
+    return out, lse  # lse stays padded (sq_p) for the backward kernels
+
+
+# ---------------------------------------------------------------------------
+# Pallas TPU kernels (backward): standard flash-attention two-pass scheme.
+#
+#   D_i  = rowsum(do_i * o_i)
+#   P_ij = exp(s_ij - lse_i), s_ij = scale * q_i.k_j (masked)
+#   dv_j = sum_i P_ij do_i
+#   ds   = P * (do V^T - D)
+#   dq_i = scale * sum_j ds_ij k_j ;  dk_j = scale * sum_i ds_ij q_i
+# ---------------------------------------------------------------------------
+
+
+def _flash_bwd_dq_kernel(
+    q_start_ref, kv_len_ref,
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+    dq_ref,
+    dq_acc,
+    *, scale, causal, block_q, block_kv, sq,
+):
+    b = pl.program_id(0)
+    iq = pl.program_id(2)
+    ik = pl.program_id(3)
+    nk = pl.num_programs(3)
+
+    @pl.when(ik == 0)
+    def _init():
+        dq_acc[:] = jnp.zeros_like(dq_acc)
+
+    q_start = q_start_ref[b]
+    kv_len = kv_len_ref[b]
+    q_pos = iq * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 0)
+    k_pos = ik * block_kv + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 1)
+
+    block_k_min = ik * block_kv
+    visible = block_k_min < kv_len
+    if causal:
+        q_max = iq * block_q + block_q - 1
+        visible = jnp.logical_and(visible, block_k_min <= q_start + q_max)
+
+    @pl.when(visible)
+    def _compute():
+        qb = q_ref[0, 0].astype(jnp.float32)
+        kb = k_ref[0, 0].astype(jnp.float32)
+        s = scale * jax.lax.dot_general(
+            qb, kb, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        mask = k_pos < kv_len
+        if causal:
+            mask = jnp.logical_and(mask, k_pos <= q_start + q_pos)
+        lse = lse_ref[0, 0]  # (block_q, 1)
+        p = jnp.where(mask, jnp.exp(s - lse), 0.0)
+        dob = do_ref[0, 0].astype(jnp.float32)
+        vb = v_ref[0, 0].astype(jnp.float32)
+        dp = jax.lax.dot_general(
+            dob, vb, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        ds = p * (dp - delta_ref[0, 0])
+        dq_acc[:] += scale * jax.lax.dot_general(
+            ds, kb, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+
+    @pl.when(ik == nk - 1)
+    def _finalize():
+        dq_ref[0, 0] = dq_acc[:].astype(dq_ref.dtype)
+
+
+def _flash_bwd_dkv_kernel(
+    q_start_ref, kv_len_ref,
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+    dk_ref, dv_ref,
+    dk_acc, dv_acc,
+    *, scale, causal, block_q, block_kv, sq,
+):
+    b = pl.program_id(0)
+    ik = pl.program_id(2)
+    iq = pl.program_id(3)
+    nq = pl.num_programs(3)
+
+    @pl.when(iq == 0)
+    def _init():
+        dk_acc[:] = jnp.zeros_like(dk_acc)
+        dv_acc[:] = jnp.zeros_like(dv_acc)
+
+    q_start = q_start_ref[b]
+    kv_len = kv_len_ref[b]
+    q_pos = iq * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 0)
+    k_pos = ik * block_kv + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 1)
+
+    block_k_min = ik * block_kv
+    visible = block_k_min < kv_len
+    if causal:
+        # this kv block only receives grads from q rows with
+        # q_start + q >= k_min; the max q row in this tile is:
+        q_max = iq * block_q + block_q - 1
+        visible = jnp.logical_and(visible, block_k_min <= q_start + q_max)
+
+    @pl.when(visible)
+    def _compute():
+        qb = q_ref[0, 0].astype(jnp.float32)
+        kb = k_ref[0, 0].astype(jnp.float32)
+        s = scale * jax.lax.dot_general(
+            qb, kb, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        mask = k_pos < kv_len
+        if causal:
+            mask = jnp.logical_and(mask, k_pos <= q_start + q_pos)
+        # padded q rows must contribute nothing
+        mask = jnp.logical_and(mask, q_pos < sq)
+        lse = lse_ref[0, 0]  # (block_q, 1)
+        p = jnp.where(mask, jnp.exp(s - lse), 0.0)
+        dob = do_ref[0, 0].astype(jnp.float32)
+        vb = v_ref[0, 0].astype(jnp.float32)
+        # dv += P^T do
+        dv_acc[:] += jax.lax.dot_general(
+            p, dob, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        dp = jax.lax.dot_general(
+            dob, vb, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        ds = p * (dp - delta_ref[0, 0])
+        # dk += ds^T q
+        dk_acc[:] += scale * jax.lax.dot_general(
+            ds, qb, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+
+    @pl.when(iq == nq - 1)
+    def _finalize():
+        dk_ref[0, 0] = dk_acc[:].astype(dk_ref.dtype)
+        dv_ref[0, 0] = dv_acc[:].astype(dv_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("causal", "scale", "block_q", "block_kv", "interpret"),
+)
+def _flash_bwd(
+    q, k, v, out, lse, g, q_start, kv_len,
+    *, causal, scale, block_q, block_kv, interpret,
+):
+    b, hq, sq, d = q.shape
+    _, hkv, skv, _ = k.shape
+    group = hq // hkv
+
+    sq_p = _round_up(sq, block_q)
+    skv_p = _round_up(skv, block_kv)
+    d_p = _round_up(d, 128)
+
+    delta = jnp.sum(
+        g.astype(jnp.float32) * out.astype(jnp.float32), axis=-1, keepdims=True
+    )  # (b, hq, sq, 1)
+
+    def pad_q(x):
+        return jnp.pad(x, ((0, 0), (0, 0), (0, sq_p - sq), (0, d_p - d)))
+
+    def pad_kv(x):
+        return jnp.pad(x, ((0, 0), (0, 0), (0, skv_p - skv), (0, d_p - d)))
+
+    qp, gp = pad_q(q), pad_q(g)
+    kp, vp = pad_kv(k), pad_kv(v)
+    delta_p = jnp.pad(delta, ((0, 0), (0, 0), (0, sq_p - sq), (0, 0)))
+    # lse comes padded from the forward
+
+    qspec = pl.BlockSpec((1, 1, block_q, d_p), lambda b, h, i, j, *_: (b, h, i, 0))
+    qrow = pl.BlockSpec((1, 1, block_q, 1), lambda b, h, i, j, *_: (b, h, i, 0))
+    kspec = pl.BlockSpec(
+        (1, 1, block_kv, d_p), lambda b, h, i, j, *_, gr=group: (b, h // gr, j, 0)
+    )
+
+    dq = pl.pallas_call(
+        functools.partial(
+            _flash_bwd_dq_kernel, scale=scale, causal=causal,
+            block_q=block_q, block_kv=block_kv, sq=sq,
+        ),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(b, hq, sq_p // block_q, skv_p // block_kv),
+            in_specs=[qspec, kspec, kspec, qspec, qrow, qrow],
+            out_specs=pl.BlockSpec(
+                (1, 1, block_q, d_p), lambda b, h, i, j, *_: (b, h, i, 0)
+            ),
+            scratch_shapes=[pltpu.VMEM((block_q, d_p), jnp.float32)],
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, hq, sq_p, d_p), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(q_start, kv_len, qp, kp, vp, gp, lse, delta_p)
+
+    # dk/dv computed per q-head then reduced over the GQA group
+    qspec2 = pl.BlockSpec((1, 1, block_q, d_p), lambda b, h, j, i, *_: (b, h, i, 0))
+    qrow2 = pl.BlockSpec((1, 1, block_q, 1), lambda b, h, j, i, *_: (b, h, i, 0))
+    kspec2 = pl.BlockSpec(
+        (1, 1, block_kv, d_p), lambda b, h, j, i, *_, gr=group: (b, h // gr, j, 0)
+    )
+    kout2 = pl.BlockSpec((1, 1, block_kv, d_p), lambda b, h, j, i, *_: (b, h, j, 0))
+
+    dk_full, dv_full = pl.pallas_call(
+        functools.partial(
+            _flash_bwd_dkv_kernel, scale=scale, causal=causal,
+            block_q=block_q, block_kv=block_kv, sq=sq,
+        ),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(b, hq, skv_p // block_kv, sq_p // block_q),
+            in_specs=[qspec2, kspec2, kspec2, qspec2, qrow2, qrow2],
+            out_specs=(kout2, kout2),
+            scratch_shapes=[
+                pltpu.VMEM((block_kv, d_p), jnp.float32),
+                pltpu.VMEM((block_kv, d_p), jnp.float32),
+            ],
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, hq, skv_p, d_p), k.dtype),
+            jax.ShapeDtypeStruct((b, hq, skv_p, d_p), v.dtype),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(q_start, kv_len, qp, kp, vp, gp, lse, delta_p)
+
+    dq = dq[:, :, :sq, :d]
+    dk_full = dk_full[:, :, :skv, :d]
+    dv_full = dv_full[:, :, :skv, :d]
+    if group > 1:
+        dk_full = dk_full.reshape(b, hkv, group, skv, d).sum(axis=2)
+        dv_full = dv_full.reshape(b, hkv, group, skv, d).sum(axis=2)
+    return dq, dk_full.astype(k.dtype), dv_full.astype(v.dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -297,28 +538,30 @@ def _flash_fwd(
     jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9)
 )
 def _flash_attention(q, k, v, q_start, kv_len, causal, scale, block_q, block_kv, interpret):
-    return _flash_fwd(
+    out, _ = _flash_fwd(
         q, k, v, q_start, kv_len,
         causal=causal, scale=scale, block_q=block_q, block_kv=block_kv,
         interpret=interpret,
     )
+    return out
 
 
 def _flash_attention_fwd(q, k, v, q_start, kv_len, causal, scale, block_q, block_kv, interpret):
-    out = _flash_attention(q, k, v, q_start, kv_len, causal, scale, block_q, block_kv, interpret)
-    return out, (q, k, v, q_start, kv_len)
+    out, lse = _flash_fwd(
+        q, k, v, q_start, kv_len,
+        causal=causal, scale=scale, block_q=block_q, block_kv=block_kv,
+        interpret=interpret,
+    )
+    return out, (q, k, v, out, lse, q_start, kv_len)
 
 
 def _flash_attention_bwd(causal, scale, block_q, block_kv, interpret, res, g):
-    q, k, v, q_start, kv_len = res
-    # Recompute via the reference implementation; XLA differentiates it.
-    def ref(q, k, v):
-        return mha_reference(
-            q, k, v, causal=causal, q_start=q_start, kv_len=kv_len, scale=scale
-        )
-
-    _, vjp = jax.vjp(ref, q, k, v)
-    dq, dk, dv = vjp(g)
+    q, k, v, out, lse, q_start, kv_len = res
+    dq, dk, dv = _flash_bwd(
+        q, k, v, out, lse, g, q_start, kv_len,
+        causal=causal, scale=scale, block_q=block_q, block_kv=block_kv,
+        interpret=interpret,
+    )
     return dq, dk, dv, None, None
 
 

@@ -120,6 +120,32 @@ def test_grad_flows_through_custom_vjp():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-3)
 
 
+def test_grad_gqa_and_kv_len():
+    """Pallas backward vs XLA-autodiff reference: GQA + per-row kv_len +
+    non-aligned shapes (padding paths in all three bwd outputs)."""
+    key = jax.random.PRNGKey(5)
+    k1, k2, k3 = jax.random.split(key, 3)
+    q = _rand((2, 4, 96, 64), k1)
+    k = _rand((2, 2, 160, 64), k2)
+    v = _rand((2, 2, 160, 64), k3)
+    kv_len = jnp.array([160, 117])
+    q_start = kv_len - 96
+
+    def loss_pallas(q, k, v):
+        out = mha(q, k, v, causal=True, q_start=q_start, kv_len=kv_len,
+                  implementation="pallas_interpret")
+        return jnp.sum(out * jnp.cos(out))
+
+    def loss_ref(q, k, v):
+        out = mha_reference(q, k, v, causal=True, q_start=q_start, kv_len=kv_len)
+        return jnp.sum(out * jnp.cos(out))
+
+    g1 = jax.grad(loss_pallas, argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-3)
+
+
 def test_bf16_dtypes():
     key = jax.random.PRNGKey(4)
     k1, k2, k3 = jax.random.split(key, 3)
