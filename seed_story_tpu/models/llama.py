@@ -59,6 +59,9 @@ class LlamaConfig:
     lora_rank: int = 0
     lora_alpha: float = 32.0
     lora_dropout: float = 0.05
+    # rematerialize each decoder layer in training (trade FLOPs for
+    # activation memory — required to fit 7B training on 16GB chips)
+    remat: bool = False
     dtype: Dtype = jnp.bfloat16
     param_dtype: Dtype = jnp.float32
 
@@ -370,12 +373,27 @@ class LlamaModel(nn.Module):
             inputs_embeds = self.embed_tokens(input_ids)
         x = inputs_embeds.astype(cfg.dtype)
 
-        new_k, new_v = [], []
-        for i, layer in enumerate(self.layers):
-            x, cache_slice = layer(
-                x, cache=cache, attention_mask=attention_mask,
+        use_remat = cfg.remat and cache is None
+
+        def run_layer(layer, x):
+            y, _ = layer(
+                x, cache=None, attention_mask=attention_mask,
                 seq_lengths=seq_lengths, deterministic=deterministic,
             )
+            return y
+
+        rematted = nn.remat(run_layer, prevent_cse=False) if use_remat else None
+
+        new_k, new_v = [], []
+        for i, layer in enumerate(self.layers):
+            if use_remat:
+                x = rematted(layer, x)
+                cache_slice = None
+            else:
+                x, cache_slice = layer(
+                    x, cache=cache, attention_mask=attention_mask,
+                    seq_lengths=seq_lengths, deterministic=deterministic,
+                )
             if cache_slice is not None:
                 new_k.append(cache_slice[0])
                 new_v.append(cache_slice[1])

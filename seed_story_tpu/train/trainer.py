@@ -110,15 +110,16 @@ class Trainer:
             batch_sharding = NamedSharding(mesh, spec)
         self.batch_sharding = batch_sharding
         self.replicated = NamedSharding(mesh, P())
+        self.trainable_mask = trainable_mask
         self.tx = make_optimizer(cfg, trainable_mask)
         self._jitted = None
 
     # -- state --------------------------------------------------------
 
     def init_state(self, params) -> TrainState:
-        # Copy before device_put: step() donates the state, and device_put
-        # may alias the caller's buffers — donation would delete them.
-        params = jax.tree_util.tree_map(jnp.array, params)
+        # Takes OWNERSHIP of params: step() donates the state buffers, so
+        # the caller must not reuse the arrays it passed in (copying here
+        # would double peak memory — prohibitive at 7B scale).
         params = jax.device_put(params, self.param_sharding)
         opt_sharding = self.opt_state_sharding(params)
         opt_state = jax.jit(self.tx.init, out_shardings=opt_sharding)(params)
@@ -145,10 +146,21 @@ class Trainer:
     def _train_step(self, state: TrainState, batch, rng):
         cfg = self.cfg
 
+        def loss_with_frozen(params, micro):
+            if self.trainable_mask is not None:
+                # stop_gradient on frozen leaves: their cotangents become
+                # constants and XLA DCEs the buffers (matters at 7B — a
+                # full-tree grad would double param memory for nothing)
+                params = jax.tree_util.tree_map(
+                    lambda m, p: p if m else jax.lax.stop_gradient(p),
+                    self.trainable_mask, params,
+                )
+            return self.loss_fn(params, micro, rng)
+
         def microbatch_grads(params, micro):
-            (loss, metrics), grads = jax.value_and_grad(self.loss_fn, has_aux=True)(
-                params, micro, rng
-            )
+            (loss, metrics), grads = jax.value_and_grad(
+                loss_with_frozen, has_aux=True
+            )(params, micro)
             metrics = dict(metrics)
             metrics["loss"] = loss
             return grads, metrics

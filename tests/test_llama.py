@@ -132,6 +132,27 @@ def test_inputs_embeds_path(model_and_params):
     )
 
 
+def test_remat_equivalence():
+    """remat=True must not change loss or gradients."""
+    ids = jnp.array([[1, 100, 2345, 31999, 5, 77]], jnp.int32)
+    labels = jnp.array([[-100, 100, 2345, 31999, 5, 77]], jnp.int32)
+    outs = {}
+    for remat in (False, True):
+        cfg = LlamaConfig.tiny(dtype=jnp.float32, remat=remat)
+        model = LlamaForCausalLM(cfg)
+        params = model.init(jax.random.PRNGKey(0), ids)["params"]
+
+        def loss(p):
+            logits = model.apply({"params": p}, ids)["logits"]
+            return cross_entropy_loss(logits, labels)
+
+        outs[remat] = (float(loss(params)), jax.grad(loss)(params))
+    np.testing.assert_allclose(outs[False][0], outs[True][0], rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(outs[False][1]),
+                    jax.tree_util.tree_leaves(outs[True][1])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
+
+
 def test_ce_loss_ignore_index():
     logits = jnp.zeros((1, 4, 10))
     labels = jnp.array([[-100, 2, -100, 3]])

@@ -88,14 +88,17 @@ def test_grad_accum_matches_mean():
     with mesh:
         params = nn.meta.unbox(agent.init(jax.random.PRNGKey(0), **batch)["params"])
 
+        def fresh():  # init_state takes ownership (donation)
+            return jax.tree_util.tree_map(jnp.array, params)
+
         # accum=2 over two identical microbatches == accum=1 on one
         t1 = Trainer(mesh, abstract, loss_fn, TrainConfig(grad_accum_steps=1, sharding_preset="dp"))
-        s1 = t1.init_state(params)
+        s1 = t1.init_state(fresh())
         s1b, m1 = t1.step(s1, batch, jax.random.PRNGKey(0))
 
         stacked = jax.tree_util.tree_map(lambda x: jnp.stack([x, x]), batch)
         t2 = Trainer(mesh, abstract, loss_fn, TrainConfig(grad_accum_steps=2, sharding_preset="dp"))
-        s2 = t2.init_state(params)
+        s2 = t2.init_state(fresh())
         s2b, m2 = t2.step(s2, stacked, jax.random.PRNGKey(0))
 
     np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-5)
