@@ -93,7 +93,17 @@ def run_training(
 
             batch_iterator = stacked(iter(batch_iterator), train_cfg.grad_accum_steps)
 
-        for batch in batch_iterator:
+        # double-buffered host->device prefetch (the reference's CUDA-stream
+        # PrefetchLoader, dataloader_utils.py:47-113, the JAX way)
+        from ..data.datapipes import ThreadedLoader
+
+        loader = ThreadedLoader(
+            lambda it=batch_iterator: iter(it),
+            prefetch=2,
+            device_put_fn=lambda b: jax.device_put(b, trainer.batch_sharding),
+        )
+
+        for batch in loader:
             if step >= args.max_steps:
                 break
             if batch_transform is not None:
@@ -119,6 +129,7 @@ def run_training(
                 ckpt.save(step, state)
                 log.info("saved checkpoint @ step %d", step)
 
+        loader.close()
         ckpt.save(step, state)
         ckpt.wait()
         writer.close()
