@@ -600,7 +600,12 @@ def mha(
 
     if implementation == "auto":
         # NB: must not inspect q.devices() — this runs under tracing.
-        implementation = "pallas" if jax.default_backend() == "tpu" else "xla"
+        # SEED_STORY_ATTN_IMPL overrides (escape hatch for debugging).
+        import os
+
+        implementation = os.environ.get("SEED_STORY_ATTN_IMPL") or (
+            "pallas" if jax.default_backend() == "tpu" else "xla"
+        )
 
     if implementation == "xla":
         return mha_reference(
