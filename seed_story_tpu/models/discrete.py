@@ -161,6 +161,91 @@ class DiscreteModelDistill(nn.Module):
         return x
 
 
+class _ProjectPool(nn.Module):
+    """Project per-token features and mean-pool to one vector (stands in
+    for the reference's qformer/BERT pooled features in the contrastive
+    composites)."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Dense(self.dim, name="proj")(x)
+        return x.mean(axis=1)
+
+
+class DiscreteModelStageOneContrastive(nn.Module):
+    """Stage-1 contrastive pretraining composite (reference
+    DiscreteModleStageOneContrastive, discrete_models.py:133-181):
+    image features vs text features with the cross-device negative pool."""
+
+    cfg: DiscreteConfig
+    temperature_init: float = 0.07
+
+    @nn.compact
+    def __call__(self, image_embeds, text_embeds, axis_name=None):
+        img = _ProjectPool(self.cfg.dim, name="image_head")(image_embeds)
+        txt = _ProjectPool(self.cfg.dim, name="text_head")(text_embeds)
+        logit_scale = self.param(
+            "logit_scale",
+            lambda *_: jnp.log(1.0 / self.temperature_init)[None],
+            (1,), jnp.float32,
+        )
+        scale = jnp.exp(jnp.clip(logit_scale[0], -10.0, 4.6052))  # <=100
+        loss = contrastive_loss(img, txt, scale, axis_name=axis_name)
+        return {"total_loss": loss, "contrastive_loss": loss}
+
+
+class DiscreteModelStageTwoContrastiveDistill(nn.Module):
+    """distill + contrastive (reference :184-276)."""
+
+    cfg: DiscreteConfig
+    use_vq: bool = True
+    contrastive_scale: float = 1.0
+
+    @nn.compact
+    def __call__(self, image_embeds, text_embeds, axis_name=None):
+        distill = DiscreteModelDistill(self.cfg, use_vq=self.use_vq,
+                                       name="distill")(image_embeds)
+        contrast = DiscreteModelStageOneContrastive(
+            self.cfg, name="contrastive")(
+            distill["recon"], text_embeds, axis_name=axis_name)
+        total = distill["total_loss"] + self.contrastive_scale * contrast["total_loss"]
+        out = {**distill, **contrast, "total_loss": total}
+        return out
+
+
+class DiscreteModelDistillWithDoubleContrastive(nn.Module):
+    """distill + contrastive on BOTH pre- and post-quantization features
+    (reference :279-424)."""
+
+    cfg: DiscreteConfig
+    use_vq: bool = True
+    contrastive_scale: float = 1.0
+
+    @nn.compact
+    def __call__(self, image_embeds, text_embeds, axis_name=None):
+        distill = DiscreteModelDistill(self.cfg, use_vq=self.use_vq,
+                                       name="distill")(image_embeds)
+        c_pre = DiscreteModelStageOneContrastive(
+            self.cfg, name="contrastive_pre")(
+            image_embeds, text_embeds, axis_name=axis_name)
+        c_post = DiscreteModelStageOneContrastive(
+            self.cfg, name="contrastive_post")(
+            distill["recon"], text_embeds, axis_name=axis_name)
+        total = (distill["total_loss"]
+                 + self.contrastive_scale * (c_pre["total_loss"] + c_post["total_loss"]))
+        return {**distill, "contrastive_pre": c_pre["total_loss"],
+                "contrastive_post": c_post["total_loss"], "total_loss": total}
+
+
+# Reference-spelling aliases (sic)
+DiscreteModleOnlyDistill = DiscreteModelDistill
+DiscreteModleStageOneContrastive = DiscreteModelStageOneContrastive
+DiscreteModleStageTwoContrastiveDistill = DiscreteModelStageTwoContrastiveDistill
+DiscreteModleDistillWithDoubleContrastive = DiscreteModelDistillWithDoubleContrastive
+
+
 def code_usage(codes: jax.Array) -> int:
     """Unique codebook indices in a batch — the stage-1 'code_usage'
     metric (reference train.py:100-104,277). Host-side helper."""
