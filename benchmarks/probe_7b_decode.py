@@ -1,4 +1,5 @@
 """7B LLaMA decode/prefill speed on one TPU chip (bf16, LoRA r16)."""
+import sys; sys.path.insert(0, "/root/repo")
 import time
 import jax, jax.numpy as jnp
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")

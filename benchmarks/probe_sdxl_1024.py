@@ -1,4 +1,5 @@
 """Full SDXL-base 1024px 50-step CFG sampling speed on one TPU chip."""
+import sys; sys.path.insert(0, "/root/repo")
 import time
 import jax, jax.numpy as jnp, numpy as np
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")

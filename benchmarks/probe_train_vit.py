@@ -1,4 +1,5 @@
 """ViT-bigG forward (frozen encoder) + stage-2 train-step throughput, one chip."""
+import sys; sys.path.insert(0, "/root/repo")
 import sys, time
 sys.path.insert(0, "/root/repo")
 import jax, jax.numpy as jnp, numpy as np
