@@ -154,3 +154,92 @@ class SDXLAdapterWithLatentImage(nn.Module):
             (noise_pred.astype(jnp.float32) - noise.astype(jnp.float32)) ** 2
         )
         return {"total_loss": loss, "noise_pred": noise_pred}
+
+
+@dataclasses.dataclass(frozen=True)
+class SD21EditAdapterConfig:
+    """SD-2.1 text2image+edit adapter (reference SD21Text2ImageAndEditAdapter,
+    adapter_modules.py:703-802): SD2.x UNet (cross_attention_dim 1024, no
+    added time/text conditioning), 8-channel conv_in (noisy latents + latent
+    image condition concatenated on channels)."""
+
+    unet: SDXLUNetConfig = dataclasses.field(
+        default_factory=lambda: SDXLUNetConfig(
+            in_channels=8,
+            block_out_channels=(320, 640, 1280, 1280),
+            down_block_types=("CrossAttnDownBlock2D",) * 3 + ("DownBlock2D",),
+            up_block_types=("UpBlock2D",) + ("CrossAttnUpBlock2D",) * 3,
+            transformer_layers_per_block=(1, 1, 1, 1),
+            cross_attention_dim=1024,
+            addition_embed_type=None,
+        )
+    )
+    lora_rank: int = 16
+
+
+class SD21Text2ImageAndEditAdapter(nn.Module):
+    """reference adapter_modules.py:703-802. forward (:706-713): resample the
+    text embeds (tuple -> prompt embeds only; SD2.x has no pooled/time_ids
+    added conditions), UNet eps prediction over the pre-concatenated
+    8-channel latents, mean eps-MSE. ``image_embeds`` rides along unused,
+    matching the reference signature.
+
+    Trainability (inherited set_adapter, :485-558): conv_in + non-attention
+    down blocks + q/out projections of every attention (the reference uses
+    LoRA there; our UNet trains the projections directly) — expressed by
+    ``sd21_edit_trainable_mask`` as an optax mask, like the main SDXLAdapter.
+    """
+
+    cfg: SD21EditAdapterConfig
+    resampler: Optional[nn.Module] = None
+
+    def setup(self):
+        self.unet = UNet2DConditionModel(self.cfg.unet)
+
+    def encode_text_embeds(self, text_embeds):
+        if self.resampler is None:
+            return text_embeds
+        out = self.resampler(text_embeds)
+        return out[0] if isinstance(out, tuple) else out
+
+    def __call__(self, noisy_latents, timesteps, image_embeds, text_embeds,
+                 noise):
+        del image_embeds  # unused, reference signature parity (:706)
+        prompt_embeds = self.encode_text_embeds(text_embeds)
+        noise_pred = self.unet(noisy_latents, timesteps, prompt_embeds)
+        loss = jnp.mean(
+            (noise_pred.astype(jnp.float32) - noise.astype(jnp.float32)) ** 2
+        )
+        return {"total_loss": loss, "noise_pred": noise_pred}
+
+    def denoise(self, noisy_latents, timesteps, prompt_embeds):
+        """Sampling-time UNet eval (driven by SDXLImagePipeline-style CFG)."""
+        return self.unet(noisy_latents, timesteps, prompt_embeds)
+
+
+def sd21_edit_trainable_mask(params, unet_cfg: SDXLUNetConfig):
+    """True for the reference edit-adapter trainable set
+    (adapter_modules.py:485-558): the resampler, unet conv_in (zero-init new
+    input channels there; plain train here), every resnet/downsampler of
+    non-attention down blocks (DownBlock2D), and the to_q / to_out
+    projections of every attention (LoRA targets in the reference)."""
+    params = nn.meta.unbox(params)
+    plain_down = {
+        f"down_blocks_{bi}"
+        for bi, t in enumerate(unet_cfg.down_block_types)
+        if "CrossAttn" not in t
+    }
+
+    def mask_fn(path, _):
+        names = [str(p.key) if hasattr(p, "key") else str(p) for p in path]
+        if names and names[0] == "resampler":
+            return True
+        if "conv_in" in names:
+            return True
+        if any(n.rsplit("_resnets_", 1)[0] in plain_down
+               or n.rsplit("_downsamplers_", 1)[0] in plain_down
+               for n in names):
+            return True
+        return any(n in ("to_q", "to_out_0") for n in names)
+
+    return jax.tree_util.tree_map_with_path(mask_fn, params)

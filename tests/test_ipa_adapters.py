@@ -98,3 +98,59 @@ def test_latent_image_adapter():
     out = m.apply({"params": params}, **args)
     assert out["noise_pred"].shape == (1, 8, 8, 4)
     assert np.isfinite(float(out["total_loss"]))
+
+
+def test_sd21_edit_adapter():
+    from seed_story_tpu.models.ipa_adapters import (
+        SD21EditAdapterConfig,
+        SD21Text2ImageAndEditAdapter,
+        sd21_edit_trainable_mask,
+    )
+    from seed_story_tpu.models.ipa_resampler import IPAResampler
+
+    unet = SDXLUNetConfig(
+        in_channels=8,
+        block_out_channels=(16, 32),
+        down_block_types=("CrossAttnDownBlock2D", "DownBlock2D"),
+        up_block_types=("UpBlock2D", "CrossAttnUpBlock2D"),
+        transformer_layers_per_block=(1, 1),
+        attention_head_dim=8,
+        cross_attention_dim=24,
+        addition_embed_type=None,
+        norm_num_groups=8,
+        dtype=jnp.float32,
+    )
+    cfg = SD21EditAdapterConfig(unet=unet)
+    m = SD21Text2ImageAndEditAdapter(
+        cfg,
+        resampler=IPAResampler(dim=24, depth=1, num_queries=4,
+                               embedding_dim=40, output_dim=24),
+    )
+    args = dict(
+        noisy_latents=jnp.zeros((1, 8, 8, 8)),  # 8ch: latents + latent image
+        timesteps=jnp.array([5]),
+        image_embeds=jnp.zeros((1, 3, 16)),  # unused (reference :706)
+        text_embeds=jax.random.normal(jax.random.PRNGKey(1), (1, 7, 40)),
+        noise=jnp.zeros((1, 8, 8, 4)),
+    )
+    params = m.init(jax.random.PRNGKey(0), **args)["params"]
+    # SD2.x: no added time/text conditioning in the tree
+    assert "add_embedding" not in params["unet"]
+    out = m.apply({"params": params}, **args)
+    assert out["noise_pred"].shape == (1, 8, 8, 4)
+    assert np.isfinite(float(out["total_loss"]))
+
+    mask = sd21_edit_trainable_mask(params, unet)
+    flat = {
+        "/".join(str(k.key) for k in path): v
+        for path, v in jax.tree_util.tree_flatten_with_path(mask)[0]
+    }
+    # resampler + conv_in + attention q/out trainable
+    assert all(v for k, v in flat.items() if k.startswith("resampler/"))
+    assert all(v for k, v in flat.items() if "conv_in" in k)
+    assert all(v for k, v in flat.items() if "/to_q/" in k or "/to_out_0/" in k)
+    # non-attention down block (index 1) resnets trainable
+    assert all(v for k, v in flat.items() if k.startswith("unet/down_blocks_1_resnets"))
+    # attention down block (index 0) resnets frozen; to_k/to_v frozen
+    assert not any(v for k, v in flat.items() if k.startswith("unet/down_blocks_0_resnets"))
+    assert not any(v for k, v in flat.items() if "/to_k/" in k or "/to_v/" in k)
