@@ -32,6 +32,13 @@ class StoryDataPipe:
             return iter(self.dataset)
         return batched(iter(self.dataset), self.batch_size)
 
+    # data-order resume (delegated to the dataset; see runner.run_training)
+    def state(self):
+        return self.dataset.state()
+
+    def set_state(self, state):
+        self.dataset.set_state(state)
+
 
 def build_long_story_datapipe(
     data_dir,

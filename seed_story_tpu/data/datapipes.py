@@ -59,6 +59,53 @@ def parse_jsonl(path: str) -> Iterator[Dict[str, Any]]:
         return
 
 
+def iter_tar_members(
+    paths: Iterable[str], mode: str = "r:*"
+) -> Iterator[tuple]:
+    """Stream ``(inner_pathname, bytes)`` for every file member of every tar
+    shard, warn-and-skipping corrupt archives (webdataset-style shards;
+    reference TarArchiveLoaderWoException, datapipes.py:15-45: a corrupt
+    archive aborts THAT archive with a warning, never the pipeline)."""
+    import tarfile
+    import warnings
+
+    if isinstance(paths, str):
+        paths = [paths]
+    for pathname in paths:
+        try:
+            with tarfile.open(pathname, mode=mode) as tar:
+                for tarinfo in tar:
+                    if not tarinfo.isfile():
+                        continue
+                    fobj = tar.extractfile(tarinfo)
+                    if fobj is None:
+                        warnings.warn(
+                            f"failed to extract file {tarinfo.name} from "
+                            f"source tarfile {pathname}"
+                        )
+                        raise tarfile.ExtractError
+                    inner = os.path.normpath(os.path.join(pathname, tarinfo.name))
+                    yield inner, fobj.read()
+        except Exception as e:  # noqa: BLE001 — mirror reference swallow
+            warnings.warn(
+                f"Unable to extract files from corrupted tarfile stream "
+                f"{pathname} due to: {e}, abort!"
+            )
+
+
+def list_tar_files(data_dir, recursive: bool = True) -> List[str]:
+    """Tar-shard counterpart of list_jsonl_files."""
+    if isinstance(data_dir, (list, tuple)):
+        out: List[str] = []
+        for d in data_dir:
+            out.extend(list_tar_files(d, recursive))
+        return sorted(out)
+    if os.path.isfile(data_dir):
+        return [data_dir]
+    pattern = "**/*.tar" if recursive else "*.tar"
+    return sorted(_glob.glob(os.path.join(data_dir, pattern), recursive=recursive))
+
+
 def shard_for_host(
     items: Sequence, host_index: Optional[int] = None, host_count: Optional[int] = None
 ) -> List:
@@ -96,6 +143,29 @@ class JsonlStoryDataset:
         self.host_index = host_index
         self.host_count = host_count
         self.shuffle_buffer = shuffle_buffer
+        # data-order resume: records handed to decode since construction.
+        # The stream is a pure function of (seed, records_consumed), so
+        # restoring is replaying the seeded shuffles and skipping decode for
+        # the first N records (the reference loses data order on resume —
+        # SURVEY §5.4; this is the fix).
+        self._records_consumed = 0
+        self._skip = 0
+
+    def state(self) -> Dict[str, int]:
+        return {"seed": self.seed, "records_consumed": self._records_consumed}
+
+    def set_state(self, state: Dict[str, int]) -> None:
+        assert int(state["seed"]) == self.seed, (state, self.seed)
+        self._records_consumed = 0
+        self._skip = int(state["records_consumed"])
+
+    def _emit(self, record):
+        """Count the record; decode it unless fast-forwarding."""
+        self._records_consumed += 1
+        if self._skip > 0:
+            self._skip -= 1
+            return None
+        return self.decode_fn(record)
 
     def _file_stream(self, epoch: int) -> List[str]:
         rng = random.Random(f"{self.seed}:files:{epoch}")
@@ -115,12 +185,12 @@ class JsonlStoryDataset:
                     if len(buf) >= self.shuffle_buffer:
                         idx = rng.randrange(len(buf))
                         buf[idx], buf[-1] = buf[-1], buf[idx]
-                        sample = self.decode_fn(buf.pop())
+                        sample = self._emit(buf.pop())
                         if sample is not None:
                             yield sample
             rng.shuffle(buf)
             for record in buf:
-                sample = self.decode_fn(record)
+                sample = self._emit(record)
                 if sample is not None:
                     yield sample
 
@@ -168,10 +238,18 @@ class ThreadedLoader:
         batch_iter_factory: Callable[[], Iterator],
         prefetch: int = 2,
         device_put_fn: Optional[Callable] = None,
+        state_fn: Optional[Callable[[], Dict]] = None,
     ):
         self.factory = batch_iter_factory
         self.prefetch = prefetch
         self.device_put_fn = device_put_fn
+        # data-order resume: ``state_fn()`` is snapshotted in the worker
+        # right after each batch is produced and travels WITH the batch
+        # through the prefetch queue, so ``current_state`` always describes
+        # exactly the batches the consumer has seen — not the (prefetched)
+        # producer position.
+        self.state_fn = state_fn
+        self.current_state: Optional[Dict] = None
         self._q: queue.Queue = queue.Queue(maxsize=prefetch)
         self._stop = threading.Event()
         self._thread = threading.Thread(target=self._worker, daemon=True)
@@ -182,9 +260,10 @@ class ThreadedLoader:
             for batch in self.factory():
                 if self._stop.is_set():
                     return
+                snap = self.state_fn() if self.state_fn is not None else None
                 if self.device_put_fn is not None:
                     batch = self.device_put_fn(batch)
-                self._q.put(batch)
+                self._q.put((batch, snap))
         finally:
             self._q.put(self._SENTINEL)
 
@@ -193,7 +272,9 @@ class ThreadedLoader:
             item = self._q.get()
             if item is self._SENTINEL:
                 return
-            yield item
+            batch, snap = item
+            self.current_state = snap
+            yield batch
 
     def close(self):
         self._stop.set()

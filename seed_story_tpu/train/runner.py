@@ -49,7 +49,13 @@ def run_training(
     batch_transform: Optional[Callable] = None,
     host_metrics_fn: Optional[Callable] = None,
     config_record: Optional[Dict] = None,
+    data_source=None,
 ):
+    """``data_source``: optional object with ``state() -> dict`` /
+    ``set_state(dict)`` (e.g. JsonlStoryDataset). When given, the pipeline
+    position is checkpointed with the train state and restored on resume, so
+    post-resume batches are exactly the ones an uninterrupted run would have
+    seen (the reference re-shuffles unseeded on resume — SURVEY §5.4)."""
     setup_logging()
     from ..utils.cache import enable_compile_cache
 
@@ -71,6 +77,9 @@ def run_training(
             mgr = ckpt if restore_dir == args.output_dir else CheckpointManager(restore_dir)
             state, data_state = mgr.restore(state)
             start_step = int(state.step)
+            if data_state is not None and data_source is not None:
+                data_source.set_state(data_state)
+                log.info("restored data order: %s", data_state)
             log.info("resumed from step %d", start_step)
 
         rng = jax.random.PRNGKey(args.seed)
@@ -101,6 +110,7 @@ def run_training(
             lambda it=batch_iterator: iter(it),
             prefetch=2,
             device_put_fn=lambda b: jax.device_put(b, trainer.batch_sharding),
+            state_fn=data_source.state if data_source is not None else None,
         )
 
         for batch in loader:
@@ -126,11 +136,11 @@ def run_training(
                               if k not in ("loss",)),
                 )
             if step % args.save_steps == 0:
-                ckpt.save(step, state)
+                ckpt.save(step, state, data_state=loader.current_state)
                 log.info("saved checkpoint @ step %d", step)
 
         loader.close()
-        ckpt.save(step, state)
+        ckpt.save(step, state, data_state=loader.current_state)
         ckpt.wait()
         writer.close()
         profiler.close()

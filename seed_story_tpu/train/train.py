@@ -114,6 +114,7 @@ def main(argv=None):
     return run_training(
         runner_args, train_cfg, abstract, init_params, loss_fn, batches(),
         host_metrics_fn=host_metrics, config_record=vars(args),
+        data_source=datapipe if hasattr(datapipe, "state") else None,
     )
 
 

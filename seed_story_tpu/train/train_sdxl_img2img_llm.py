@@ -163,6 +163,7 @@ def main(argv=None):
     return run_training(
         runner_args, train_cfg, abstract, init_params, loss_fn, batches(),
         trainable_mask=mask, config_record=vars(args),
+        data_source=datapipe if hasattr(datapipe, "state") else None,
     )
 
 
