@@ -30,9 +30,9 @@ class PerceiverAttention(nn.Module):
     def __call__(self, x, latents):
         """x: (B, n1, D) features; latents: (B, n2, D). KV = [x; latents]."""
         inner = self.dim_head * self.heads
-        x = nn.LayerNorm(dtype=jnp.float32, param_dtype=self.param_dtype,
+        x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, param_dtype=self.param_dtype,
                          name="norm1")(x.astype(jnp.float32)).astype(self.dtype)
-        latents = nn.LayerNorm(dtype=jnp.float32, param_dtype=self.param_dtype,
+        latents = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, param_dtype=self.param_dtype,
                                name="norm2")(latents.astype(jnp.float32)).astype(self.dtype)
         b, l, _ = latents.shape
         q = nn.Dense(inner, use_bias=False, dtype=self.dtype,
@@ -66,7 +66,7 @@ class FeedForward(nn.Module):
     @nn.compact
     def __call__(self, x):
         inner = int(self.dim * self.mult)
-        x = nn.LayerNorm(dtype=jnp.float32, param_dtype=self.param_dtype,
+        x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, param_dtype=self.param_dtype,
                          name="norm")(x.astype(jnp.float32)).astype(self.dtype)
         x = nn.Dense(inner, use_bias=False, dtype=self.dtype,
                      param_dtype=self.param_dtype, name="fc1")(x)
@@ -169,7 +169,7 @@ class IPAResampler(nn.Module):
                                   self.param_dtype, name=f"layers_{i}_ff")(latents) + latents
         latents = nn.Dense(self.output_dim, dtype=self.dtype,
                            param_dtype=self.param_dtype, name="proj_out")(latents)
-        return nn.LayerNorm(dtype=jnp.float32, param_dtype=self.param_dtype,
+        return nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, param_dtype=self.param_dtype,
                             name="norm_out")(latents.astype(jnp.float32)).astype(self.dtype)
 
 
@@ -201,9 +201,14 @@ class ResamplerXLV2(nn.Module):
             latents.astype(self.dtype), (x.shape[0],) + latents.shape[1:]
         )
         if self.l2_normalize_input:
+            # reference :269 calls F.normalize(x) with torch's DEFAULT dim=1:
+            # the (B, L, D) features are normalized over the TOKEN axis, not
+            # the feature axis. Almost certainly unintended upstream, but the
+            # shipped checkpoints were trained through it — reproduced
+            # bug-for-bug (see CLAUDE.md design invariants).
             xf = x.astype(jnp.float32)
-            x = (xf * jax.lax.rsqrt(
-                jnp.sum(xf * xf, -1, keepdims=True) + 1e-12)).astype(self.dtype)
+            norm = jnp.sqrt(jnp.sum(xf * xf, axis=1, keepdims=True))
+            x = (xf / jnp.maximum(norm, 1e-12)).astype(self.dtype)
         x = nn.Dense(self.dim, dtype=self.dtype, param_dtype=self.param_dtype,
                      name="proj_in")(x.astype(self.dtype))
         for i in range(self.depth):
@@ -212,7 +217,7 @@ class ResamplerXLV2(nn.Module):
                 self.param_dtype, name=f"layers_{i}_attn")(x, latents) + latents
             latents = FeedForward(self.dim, self.ff_mult, self.dtype,
                                   self.param_dtype, name=f"layers_{i}_ff")(latents) + latents
-        hidden = nn.LayerNorm(dtype=jnp.float32, param_dtype=self.param_dtype,
+        hidden = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, param_dtype=self.param_dtype,
                               name="norm_out")(latents.astype(jnp.float32)).astype(self.dtype)
         e1 = nn.Dense(self.output1_dim, dtype=self.dtype,
                       param_dtype=self.param_dtype, name="unet_proj_1")(hidden)

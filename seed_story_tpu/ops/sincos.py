@@ -36,8 +36,35 @@ def get_2d_sincos_pos_embed(embed_dim: int, grid_size: int, cls_token: bool = Fa
     return pos.astype(np.float32)
 
 
+def _torch_bicubic_matrix(src: int, tgt: int) -> np.ndarray:
+    """(tgt, src) interpolation matrix reproducing torch
+    ``F.interpolate(mode='bicubic', align_corners=False)`` exactly: half-pixel
+    source coords, cubic-convolution kernel with A=-0.75, border-replicated
+    taps. jax.image.resize uses the Keys a=-0.5 kernel, which differs by up
+    to ~1e-3 — enough to break bit-comparable ViT-feature porting (the 448px
+    Qwen ViT upsamples its 16x16 pos-emb to 32x32 through this path,
+    reference qwen_visual.py:23-38)."""
+    A = -0.75
+    scale = src / tgt
+    w = np.zeros((tgt, src), np.float64)
+    for i in range(tgt):
+        center = (i + 0.5) * scale - 0.5
+        i0 = int(np.floor(center))
+        t = center - i0
+        ws = (
+            ((A * (t + 1) - 5 * A) * (t + 1) + 8 * A) * (t + 1) - 4 * A,
+            ((A + 2) * t - (A + 3)) * t * t + 1,
+            ((A + 2) * (1 - t) - (A + 3)) * (1 - t) * (1 - t) + 1,
+            ((A * (2 - t) - 5 * A) * (2 - t) + 8 * A) * (2 - t) - 4 * A,
+        )
+        for k, wk in enumerate(ws):
+            w[i, min(max(i0 - 1 + k, 0), src - 1)] += wk
+    return w.astype(np.float32)
+
+
 def interpolate_abs_pos(abs_pos: jax.Array, tgt_len: int) -> jax.Array:
-    """Bicubic-resample a (L, C) square-grid pos-emb to tgt_len positions."""
+    """Bicubic-resample a (L, C) square-grid pos-emb to tgt_len positions
+    (torch-exact; see _torch_bicubic_matrix)."""
     src = int(np.sqrt(abs_pos.shape[0]))
     tgt = int(np.sqrt(tgt_len))
     assert tgt * tgt == tgt_len, (
@@ -48,5 +75,7 @@ def interpolate_abs_pos(abs_pos: jax.Array, tgt_len: int) -> jax.Array:
         return abs_pos
     c = abs_pos.shape[-1]
     grid = abs_pos.astype(jnp.float32).reshape(src, src, c)
-    out = jax.image.resize(grid, (tgt, tgt, c), method="bicubic")
+    w = jnp.asarray(_torch_bicubic_matrix(src, tgt))
+    out = jnp.einsum("ts,shc->thc", w, grid)
+    out = jnp.einsum("ts,hsc->htc", w, out)
     return out.reshape(tgt * tgt, c).astype(abs_pos.dtype)
