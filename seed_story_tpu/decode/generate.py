@@ -277,16 +277,19 @@ class StoryGenerator:
         cmp_pad = np.pad(
             np.atleast_2d(np.asarray(ids_cmp_mask, bool)), ((0, 0), (0, pad))
         )
-        # pad the image axis to the static bound -> one compile for the story
-        image_embeds = np.asarray(image_embeds)
+        # pad the image axis to the static bound -> one compile for the
+        # story. Stays in jnp: the features are usually already device-side
+        # (the pipeline feeds back the model's own output features), and an
+        # np round-trip would drag ~33MB through the host per segment.
+        image_embeds = jnp.asarray(image_embeds)
         embeds_cmp_mask = np.asarray(embeds_cmp_mask, bool)
         n_img = image_embeds.shape[0]
         max_img = max(cfg.max_context_images, n_img)
         if n_img < max_img:
-            image_embeds = np.concatenate(
+            image_embeds = jnp.concatenate(
                 [image_embeds,
-                 np.zeros((max_img - n_img,) + image_embeds.shape[1:],
-                          image_embeds.dtype)],
+                 jnp.zeros((max_img - n_img,) + image_embeds.shape[1:],
+                           image_embeds.dtype)],
                 axis=0,
             )
             embeds_cmp_mask = np.concatenate(

@@ -85,7 +85,14 @@ class SinkKVCacheManager:
         # live tail after the evicted span (reference keeps from eoi+1)
         keep += [s + i for i in range(eoi_idx + 1, live_len)]
         new_len = len(keep)
-        assert new_len <= self.capacity
+        if new_len > self.capacity:
+            raise ValueError(
+                f"cache_capacity={self.capacity} too small: eviction still "
+                f"needs {new_len} slots ({new_sink_len} sink + "
+                f"{new_len - new_sink_len} live). Size the cache at "
+                "construction to >= prompt growth between evictions + the "
+                "accumulated sink budget (~28 tokens per evicted image)."
+            )
 
         idx = np.zeros((self.capacity,), np.int32)
         idx[:new_len] = keep

@@ -29,6 +29,24 @@ def read_jsonl(path: str):
     return data
 
 
+def split_subtitle(text: str) -> tuple:
+    """Two lines, split at the word boundary nearest the midpoint.
+
+    Deliberate improvement over the reference (gen_george.py:132-133), which
+    slices ``text[:len(text)//2]`` and can cut mid-word in every frame.
+    """
+    mid = len(text) // 2
+    left = text.rfind(" ", 0, mid + 1)
+    right = text.find(" ", mid)
+    if left == -1 and right == -1:
+        return text[:mid], text[mid:]
+    if left == -1 or (right != -1 and right - mid < mid - left):
+        cut = right
+    else:
+        cut = left
+    return text[:cut], text[cut + 1 :]
+
+
 def add_subtitle(original_image: Image.Image, text: str) -> Image.Image:
     """Black caption bar under the frame (reference gen_george.py:114-149)."""
     text_height = 80
@@ -38,7 +56,7 @@ def add_subtitle(original_image: Image.Image, text: str) -> Image.Image:
     new_image.paste(original_image, (0, 0))
     draw = ImageDraw.Draw(new_image)
     font_size = 14
-    line1, line2 = text[: len(text) // 2], text[len(text) // 2:]
+    line1, line2 = split_subtitle(text)
     y1 = original_image.height + (text_height - font_size) // 2
     draw.text((10, y1), line1, fill="white")
     draw.text((10, y1 + font_size), line2, fill="white")

@@ -84,44 +84,87 @@ def find_jpg_files(directory: str) -> List[str]:
     return sorted(jpgs, key=lambda x: natural(x.split("/")[-1]))
 
 
-BUILD_PROMPT = (
-    "You are given {n} consecutive keyframes of an animated story. Write a "
-    "children's story: for each image, produce one narrative sentence that "
-    "continues the story and names recurring characters consistently. "
-    "Output STRICTLY in the format "
-    "{{{{image_name->story sentence@@image_name->story sentence@@...}}}} "
-    "with one entry per image, in order."
+# The GPT instruction strings ARE the dataset-construction protocol: the
+# published StoryStream jsonl was produced by exactly this text (reference
+# build_story_v2.py:16-49, incl. its literal backslash-escaped braces), so
+# they are kept verbatim — like the GPT-judge protocols in eval/. Changing a
+# word changes the dataset.
+STORY_INSTRUCTION = (
+    "You are a gifted storyteller specializing in creating engaging narratives "
+    "for children based on visual cues and the previous story. Your task is to craft "
+    "a charming story from a series of images from the cartoon \"Rabbits Invasion.\" "
+    "\nImage Use: I will provide every image to you. File names are listed below. "
+    "You should fully understand the semantics and details of these images and use "
+    "them for the story. "
+    "\nPrevious Story Use: I will provide you the previous story. If the previous "
+    "story is empty, then you can start a new story on your own. When the previous "
+    "story exists, make sure the new story is continuous. "
+    "\nNarrative Requirements: Ensure that the narrative is child-friendly and "
+    "coherent across all images. The language should be simple and understandable "
+    "for children aged 5-8 years. "
+    "\nOutput Format: Deliver the story in the following format, ensuring all parts "
+    "are connected: "
+    "\n    * \\{\\{[keyframe_file_name_0]->[story_0]@@keyframe_file_name_1->story_1@@"
+    "keyframe_file_name_2->story_2@@…\\}\\} "
+    "\n    * replace the [keyframe_file_name_x] with the real keyframe name. replace "
+    "the [story_x] with your generated story. "
+    "\nYour goal is to weave these individual images into a seamless and "
+    "entertaining story that captures the imagination of young readers."
 )
 
-LINK_PROMPT = (
-    "You are given {n} story fragments about the same characters. Rewrite "
-    "them into ONE coherent long story, keeping one sentence per image and "
-    "the same strict output format "
-    "{{{{image_name->story sentence@@...}}}}. Fragments:\n{fragments}"
+LINK_INSTRUCTION = (
+    "You are a gifted storyteller specializing in creating engaging narratives for children. "
+    "Your task is to link several charming stories from the cartoon \"Rabbits Invasion Into\" a long story. "
+    "Story Use: I will provide several stories for you. You may modify the story text to make them more continuous. "
+    "Narrative Requirements: Ensure that the narrative is child-friendly and coherent across all images. "
+    "The language should be simple and understandable for children aged 5-8 years. "
+    "Output Format: Deliver the story in the following format, ensuring all parts are connected: "
+    "* \\{\\{[keyframe_file_name_0]->[story_0]@@keyframe_file_name_1->story_1@@keyframe_file_name_2->story_2@@…\\}\\} "
+    "* replace the [keyframe_file_name_x] with the real keyframe name. replace "
+    "the [story_x] with your generated story."
+    "Your goal is to weave these individual stories into a seamless and "
+    "entertaining long story that captures the imagination of young readers."
 )
 
 
-def construct_dataset(image_batch: List[str], pool: List[str],
-                      client=None, model="gpt-4-turbo-2024-04-09") -> Optional[str]:
-    """One GPT-4V call over a 10-image batch -> raw grammar string."""
+def construct_dataset(image_batch: List[str], pool,
+                      client=None, model="gpt-4-turbo-2024-04-09",
+                      instruction: str = STORY_INSTRUCTION) -> Optional[str]:
+    """One GPT-4V call over a 10-image batch -> raw grammar string.
+
+    Message structure mirrors the reference (build_story_v2.py:84-133):
+    one user message per image, then the instruction, the file-name list,
+    and the previous-story pool."""
     client = client or default_client()
-    content = [{"type": "text", "text": BUILD_PROMPT.format(n=len(image_batch))}]
-    for p in image_batch:
-        content.append({"type": "text", "text": os.path.basename(p)})
-        content.append({
+    image_names = [os.path.basename(p) for p in image_batch]
+    messages = [
+        {"role": "user", "content": [{
             "type": "image_url",
             "image_url": {"url": "data:image/jpeg;base64," + encode_image(p)},
-        })
-    return api_call(client, [{"role": "user", "content": content}], model=model)
+        }]}
+        for p in image_batch
+    ]
+    for text in (instruction,
+                 "File names: {}".format(image_names),
+                 "Previous Story: {}".format(pool)):
+        messages.append(
+            {"role": "user", "content": [{"type": "text", "text": text}]}
+        )
+    return api_call(client, messages, model=model)
 
 
-def link_dataset(pool: List[str], client=None,
-                 model="gpt-4-turbo-2024-04-09") -> Optional[str]:
+def link_dataset(pool, client=None, model="gpt-4-turbo-2024-04-09",
+                 instruction: str = LINK_INSTRUCTION) -> Optional[str]:
     """Link 3 x 10-frame fragments into one 30-frame story (reference
-    :214-240)."""
+    :138-164)."""
     client = client or default_client()
-    prompt = LINK_PROMPT.format(n=len(pool), fragments="\n---\n".join(pool))
-    return api_call(client, [{"role": "user", "content": prompt}], model=model)
+    messages = [
+        {"role": "user", "content": [{"type": "text", "text": instruction}]},
+        {"role": "user", "content": [{
+            "type": "text", "text": "\nstories: {}".format(pool)
+        }]},
+    ]
+    return api_call(client, messages, model=model)
 
 
 def build_stories(image_dir: str, output_path: str, client=None,
