@@ -205,6 +205,15 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _pad_head_dim(d: int) -> int:
+    """Head-dim padding for kernel blocks. d<=64 stays at 64: Mosaic
+    handles 64-lane blocks natively, and padding to 128 doubles the HBM
+    traffic and MXU work of every matmul — SDXL UNet attention is d=64
+    (the reference runs it through xformers, train_sdxl_img2img_llm.py:230).
+    Larger dims round to 128 (LLaMA d=128, ViT-bigG d=104 -> 128)."""
+    return 64 if d <= 64 else _round_up(d, 128)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("causal", "scale", "block_q", "block_kv", "interpret"),
@@ -228,7 +237,7 @@ def _flash_fwd(
 
     sq_p = _round_up(sq, block_q)
     skv_p = _round_up(skv, block_kv)
-    d_p = _round_up(d, 128)
+    d_p = _pad_head_dim(d)
     if sq_p != sq or d_p != d:
         q = jnp.pad(q, ((0, 0), (0, 0), (0, sq_p - sq), (0, d_p - d)))
     if skv_p != skv or d_p != d:
@@ -443,7 +452,7 @@ def _flash_bwd(
 
     sq_p = _round_up(sq, block_q)
     skv_p = _round_up(skv, block_kv)
-    d_p = _round_up(d, 128)
+    d_p = _pad_head_dim(d)
 
     delta = jnp.sum(
         g.astype(jnp.float32) * out.astype(jnp.float32), axis=-1, keepdims=True
@@ -577,11 +586,13 @@ def mha(
     q_start: Optional[jax.Array] = None,
     kv_len: Optional[jax.Array] = None,
     scale: Optional[float] = None,
-    # Defaults from an on-chip sweep (v5e, seq 1280, d 128): 256x512 runs
+    # Defaults from on-chip sweeps (v5e). d=128 (seq 1280): 256x512 runs
     # 2.1x faster than 128x128 and 2.8x faster than the XLA path; 512x512
-    # exceeds the 16MB VMEM scoped limit.
-    block_q: int = 256,
-    block_kv: int = 512,
+    # exceeds the 16MB VMEM scoped limit. d<=64 (SDXL UNet shapes): blocks
+    # are half the VMEM, so 1024x1024 fits and lifts seq-4096 attention
+    # from 21 to 31 TF/s (~2x the XLA path). None -> resolved per d below.
+    block_q: Optional[int] = None,
+    block_kv: Optional[int] = None,
     implementation: str = "auto",
 ) -> jax.Array:
     """Multi-head attention. See module docstring for the mask rule.
@@ -597,6 +608,10 @@ def mha(
         raise ValueError(f"k/v shape mismatch: {k.shape} vs {v.shape}")
     if scale is None:
         scale = 1.0 / float(np.sqrt(d))
+    if block_q is None:
+        block_q = 1024 if d <= 64 else 256
+    if block_kv is None:
+        block_kv = 1024 if d <= 64 else 512
 
     if implementation == "auto":
         # NB: must not inspect q.devices() — this runs under tracing.
