@@ -28,6 +28,14 @@ from ...ops.attention import mha
 Dtype = Any
 
 
+def _init(axes):
+    """Default kernel init + logical axes (parallel/sharding.py rules):
+    'heads'/'mlp' dims shard over the model axis under fsdp_tp (Megatron-
+    style TP of the transformer blocks and convs) and over data under fsdp
+    (ZeRO-3-style param sharding). Un-annotated params stay replicated."""
+    return nn.with_logical_partitioning(nn.initializers.lecun_normal(), axes)
+
+
 @dataclasses.dataclass(frozen=True)
 class SDXLUNetConfig:
     in_channels: int = 4
@@ -99,10 +107,10 @@ class TimestepEmbedding(nn.Module):
     @nn.compact
     def __call__(self, x):
         x = nn.Dense(self.dim, dtype=self.dtype, param_dtype=self.param_dtype,
-                     name="linear_1")(x)
+                     kernel_init=_init(("embed_kv", "mlp")), name="linear_1")(x)
         x = nn.silu(x)
         return nn.Dense(self.dim, dtype=self.dtype, param_dtype=self.param_dtype,
-                        name="linear_2")(x)
+                        kernel_init=_init(("mlp", "embed_kv")), name="linear_2")(x)
 
 
 class ResnetBlock2D(nn.Module):
@@ -118,9 +126,13 @@ class ResnetBlock2D(nn.Module):
                          name="norm1")(x.astype(jnp.float32)).astype(cfg.dtype)
         h = nn.silu(h)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=cfg.dtype,
-                    param_dtype=cfg.param_dtype, name="conv1")(h)
+                    param_dtype=cfg.param_dtype,
+                    kernel_init=_init((None, None, "embed_kv", "mlp")),
+                    name="conv1")(h)
         t = nn.Dense(self.out_channels, dtype=cfg.dtype,
-                     param_dtype=cfg.param_dtype, name="time_emb_proj")(
+                     param_dtype=cfg.param_dtype,
+                     kernel_init=_init(("embed_kv", "mlp")),
+                     name="time_emb_proj")(
             nn.silu(temb))
         h = h + t[:, None, None, :]
         h = nn.GroupNorm(num_groups=cfg.norm_num_groups, epsilon=1e-5,
@@ -128,7 +140,9 @@ class ResnetBlock2D(nn.Module):
                          name="norm2")(h.astype(jnp.float32)).astype(cfg.dtype)
         h = nn.silu(h)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=cfg.dtype,
-                    param_dtype=cfg.param_dtype, name="conv2")(h)
+                    param_dtype=cfg.param_dtype,
+                    kernel_init=_init((None, None, "embed_kv", "mlp")),
+                    name="conv2")(h)
         if c_in != self.out_channels:
             x = nn.Conv(self.out_channels, (1, 1), dtype=cfg.dtype,
                         param_dtype=cfg.param_dtype, name="conv_shortcut")(x)
@@ -152,18 +166,23 @@ class CrossAttention(nn.Module):
         b, lq, _ = x.shape
         lk = context.shape[1]
         q = nn.Dense(inner, use_bias=False, dtype=self.dtype,
-                     param_dtype=self.param_dtype, name="to_q")(x)
+                     param_dtype=self.param_dtype,
+                     kernel_init=_init(("embed_kv", "heads")), name="to_q")(x)
         k = nn.Dense(inner, use_bias=False, dtype=self.dtype,
-                     param_dtype=self.param_dtype, name="to_k")(context)
+                     param_dtype=self.param_dtype,
+                     kernel_init=_init(("embed_kv", "heads")), name="to_k")(context)
         v = nn.Dense(inner, use_bias=False, dtype=self.dtype,
-                     param_dtype=self.param_dtype, name="to_v")(context)
+                     param_dtype=self.param_dtype,
+                     kernel_init=_init(("embed_kv", "heads")), name="to_v")(context)
         q = q.reshape(b, lq, self.heads, self.dim_head).transpose(0, 2, 1, 3)
         k = k.reshape(b, lk, self.heads, self.dim_head).transpose(0, 2, 1, 3)
         v = v.reshape(b, lk, self.heads, self.dim_head).transpose(0, 2, 1, 3)
         out = mha(q, k, v, causal=False)
         out = out.transpose(0, 2, 1, 3).reshape(b, lq, inner)
         return nn.Dense(self.query_dim, dtype=self.dtype,
-                        param_dtype=self.param_dtype, name="to_out_0")(out)
+                        param_dtype=self.param_dtype,
+                        kernel_init=_init(("heads", "embed_kv")),
+                        name="to_out_0")(out)
 
 
 class FeedForwardGEGLU(nn.Module):
@@ -176,11 +195,11 @@ class FeedForwardGEGLU(nn.Module):
     def __call__(self, x):
         inner = self.dim * self.mult
         h = nn.Dense(inner * 2, dtype=self.dtype, param_dtype=self.param_dtype,
-                     name="net_0_proj")(x)
+                     kernel_init=_init(("embed_kv", "mlp")), name="net_0_proj")(x)
         h, gate = jnp.split(h, 2, axis=-1)
         h = h * nn.gelu(gate)
         return nn.Dense(self.dim, dtype=self.dtype, param_dtype=self.param_dtype,
-                        name="net_2")(h)
+                        kernel_init=_init(("mlp", "embed_kv")), name="net_2")(h)
 
 
 class BasicTransformerBlock(nn.Module):
@@ -247,6 +266,7 @@ class Downsample2D(nn.Module):
         x = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0)))
         return nn.Conv(self.channels, (3, 3), strides=(2, 2), padding="VALID",
                        dtype=self.cfg.dtype, param_dtype=self.cfg.param_dtype,
+                       kernel_init=_init((None, None, "embed_kv", "mlp")),
                        name="conv")(x)
 
 
@@ -259,7 +279,9 @@ class Upsample2D(nn.Module):
         b, h, w, c = x.shape
         x = jax.image.resize(x, (b, h * 2, w * 2, c), method="nearest")
         return nn.Conv(self.channels, (3, 3), padding=1, dtype=self.cfg.dtype,
-                       param_dtype=self.cfg.param_dtype, name="conv")(x)
+                       param_dtype=self.cfg.param_dtype,
+                       kernel_init=_init((None, None, "embed_kv", "mlp")),
+                       name="conv")(x)
 
 
 class UNet2DConditionModel(nn.Module):
