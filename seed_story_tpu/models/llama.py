@@ -36,6 +36,46 @@ from ..ops.rope import apply_rope, rope_frequencies
 Dtype = Any
 
 
+def _maybe_sharded_mha(cfg, q, k, v, *, q_start, kv_len, implementation="auto"):
+    """Causal attention, run inside a shard_map over the TP axis when
+    ``cfg.shard_attention_axis`` names one of the active mesh's axes (heads
+    are independent, so attention on the local head shard is exact). See the
+    config field docstring for why this matters under pjit."""
+    b, h, s, _ = q.shape
+    if q_start is None:
+        q_start = jnp.zeros((b,), jnp.int32)
+    if kv_len is None:
+        kv_len = jnp.full((b,), k.shape[2], jnp.int32)
+
+    axis = cfg.shard_attention_axis
+    if axis is not None and s > 1:
+        from jax.experimental.shard_map import shard_map
+        from jax.interpreters import pxla
+        from jax.sharding import PartitionSpec as P
+
+        mesh = pxla.thread_resources.env.physical_mesh
+        if (
+            not mesh.empty
+            and axis in mesh.shape
+            and h % mesh.shape[axis] == 0
+            and k.shape[1] % mesh.shape[axis] == 0
+        ):
+            spec = P(None, axis, None, None)
+            fn = shard_map(
+                lambda q, k, v, qs, kl: mha(
+                    q, k, v, causal=True, q_start=qs, kv_len=kl,
+                    implementation=implementation,
+                ),
+                mesh=mesh,
+                in_specs=(spec, spec, spec, P(None), P(None)),
+                out_specs=spec,
+                check_rep=False,
+            )
+            return fn(q, k, v, q_start, kv_len)
+    return mha(q, k, v, causal=True, q_start=q_start, kv_len=kv_len,
+               implementation=implementation)
+
+
 @dataclasses.dataclass(frozen=True)
 class LlamaConfig:
     vocab_size: int = 32066  # 32000 + 66 multimodal tokens
@@ -59,6 +99,14 @@ class LlamaConfig:
     lora_rank: int = 0
     lora_alpha: float = 32.0
     lora_dropout: float = 0.05
+    # Tensor-parallel attention: when set to a mesh axis name (e.g.
+    # "model"), multi-token attention (prefill / training) runs inside a
+    # shard_map over that axis so the Pallas kernel operates on the LOCAL
+    # head shard — without this, a pallas_call under pjit is a single-device
+    # computation and XLA all-gathers the full Q/K/V first (PARITY gap #5).
+    # Heads (q and kv) must divide the axis size; falls back to the gathered
+    # path otherwise. None = off.
+    shard_attention_axis: Optional[str] = None
     # rematerialize each decoder layer in training (trade FLOPs for
     # activation memory — required to fit 7B training on 16GB chips)
     remat: bool = False
@@ -266,11 +314,11 @@ class LlamaAttention(nn.Module):
             # single-token decode: two masked matvecs in plain XLA beat a
             # Pallas kernel launch (measured ~15% faster per decode step)
             impl = "xla" if s == 1 else "auto"
-            out = mha(
+            out = _maybe_sharded_mha(
+                cfg,
                 q.astype(cfg.dtype),
                 k_buf.astype(cfg.dtype),
                 v_buf.astype(cfg.dtype),
-                causal=True,
                 q_start=start,
                 kv_len=start + new_len,
                 implementation=impl,
@@ -279,7 +327,7 @@ class LlamaAttention(nn.Module):
             kv_len = None
             if attention_mask is not None:
                 kv_len = attention_mask.astype(jnp.int32).sum(axis=-1)
-            out = mha(q, k, v, causal=True, kv_len=kv_len)
+            out = _maybe_sharded_mha(cfg, q, k, v, q_start=None, kv_len=kv_len)
 
         out = out.transpose(0, 2, 1, 3).reshape(b, s, h * hd)
         o_proj = LoRADense(
