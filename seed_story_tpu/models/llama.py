@@ -110,6 +110,14 @@ class LlamaConfig:
     # rematerialize each decoder layer in training (trade FLOPs for
     # activation memory — required to fit 7B training on 16GB chips)
     remat: bool = False
+    # lax.scan over decoder layers (no-cache path only): ONE compiled layer
+    # body instead of a num_hidden_layers-way unrolled HLO. Shrinks the
+    # training graph ~L-fold (compile time AND the program the TPU worker
+    # must hold — the round-1 >1B-param on-chip crash was graph-size
+    # related) at the cost of a stacked (L, ...) param layout; convert with
+    # stack_layer_params / unstack_layer_params. Decode (cache) paths keep
+    # per-layer buffers and require unstacked params.
+    scan_layers: bool = False
     dtype: Dtype = jnp.bfloat16
     param_dtype: Dtype = jnp.float32
 
@@ -400,10 +408,16 @@ class LlamaModel(nn.Module):
                 nn.initializers.normal(stddev=0.02), ("vocab", "embed")
             ),
         )
-        self.layers = [
-            LlamaDecoderLayer(cfg, i, name=f"layers_{i}")
-            for i in range(cfg.num_hidden_layers)
-        ]
+        if cfg.scan_layers:
+            # one block, scanned; params get a leading (L,) axis named
+            # 'layer' in the logical-axis metadata (replicated by the rule
+            # tables — layers are sharded by their inner dims, not depth)
+            self.layers = [LlamaDecoderLayer(cfg, 0, name="layers")]
+        else:
+            self.layers = [
+                LlamaDecoderLayer(cfg, i, name=f"layers_{i}")
+                for i in range(cfg.num_hidden_layers)
+            ]
         self.norm = RMSNorm(cfg.rms_norm_eps, cfg.dtype, cfg.param_dtype)
 
     def __call__(
@@ -431,6 +445,28 @@ class LlamaModel(nn.Module):
             return y
 
         rematted = nn.remat(run_layer, prevent_cse=False) if use_remat else None
+
+        if cfg.scan_layers:
+            if cache is not None:
+                raise ValueError(
+                    "scan_layers builds stacked (L, ...) params; decode "
+                    "needs per-layer cache buffers — unstack the params "
+                    "with unstack_layer_params and a scan_layers=False "
+                    "config for generation."
+                )
+
+            def scan_body(layer, x):
+                return run_layer(layer, x), None
+
+            body = nn.remat(scan_body, prevent_cse=False) if use_remat else scan_body
+            x, _ = nn.scan(
+                body,
+                variable_axes={"params": 0},
+                split_rngs={"params": True, "dropout": True},
+                length=cfg.num_hidden_layers,
+                metadata_params={nn.meta.PARTITION_NAME: "layer"},
+            )(self.layers[0], x)
+            return self.norm(x), None
 
         new_k, new_v = [], []
         for i, layer in enumerate(self.layers):
@@ -525,6 +561,53 @@ def cross_entropy_loss(logits, labels, ignore_index: int = -100):
     token_ll = jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
     n = jnp.maximum(valid.sum(), 1)
     return -(token_ll * valid).sum() / n
+
+
+def stack_layer_params(params):
+    """Unrolled param layout (``layers_0`` .. ``layers_{L-1}`` siblings) ->
+    the ``scan_layers`` layout (one ``layers`` subtree whose leaves carry a
+    leading (L,) axis). Recursive, so agent trees ({'llm': {'model': ...}})
+    convert in one call. Operates on plain (unboxed) arrays."""
+    import re
+
+    def convert(d):
+        if not isinstance(d, dict):
+            return d
+        layer_keys = sorted(
+            (k for k in d if re.fullmatch(r"layers_\d+", k)),
+            key=lambda k: int(k.rsplit("_", 1)[1]),
+        )
+        out = {k: convert(v) for k, v in d.items() if k not in layer_keys}
+        if layer_keys:
+            out["layers"] = jax.tree_util.tree_map(
+                lambda *xs: jnp.stack(xs), *(d[k] for k in layer_keys)
+            )
+        return out
+
+    return convert(nn.meta.unbox(params))
+
+
+def unstack_layer_params(params):
+    """Inverse of :func:`stack_layer_params` — split the stacked ``layers``
+    subtree back into per-layer ``layers_{i}`` siblings (the layout the
+    decode/cache path requires)."""
+
+    def convert(d):
+        if not isinstance(d, dict):
+            return d
+        out = {}
+        for k, v in d.items():
+            if k == "layers" and isinstance(v, dict):
+                n = jax.tree_util.tree_leaves(v)[0].shape[0]
+                for i in range(n):
+                    out[f"layers_{i}"] = jax.tree_util.tree_map(
+                        lambda x, i=i: x[i], v
+                    )
+            else:
+                out[k] = convert(v)
+        return out
+
+    return convert(nn.meta.unbox(params))
 
 
 def lora_trainable_mask(params) -> Any:

@@ -9,6 +9,7 @@ the flax logical axis names used throughout models/:
   mlp    — FFN intermediate dim
   heads  — attention heads (flattened heads*head_dim)
   vocab  — token vocabulary
+  layer  — stacked depth axis of scan_layers params (never sharded)
   lora   — LoRA rank dim
   kv     — resampler/latent kv dims
 
@@ -32,6 +33,7 @@ Rules = Sequence[Tuple[str, Optional[str]]]
 
 DP_RULES: Rules = (
     ("batch", "data"),
+    ("layer", None),
     ("embed", None),
     ("embed_kv", None),
     ("mlp", None),
@@ -43,6 +45,7 @@ DP_RULES: Rules = (
 
 FSDP_RULES: Rules = (
     ("batch", "data"),
+    ("layer", None),
     ("embed", None),
     ("embed_kv", None),
     ("mlp", "data"),
@@ -54,6 +57,7 @@ FSDP_RULES: Rules = (
 
 FSDP_TP_RULES: Rules = (
     ("batch", "data"),
+    ("layer", None),
     ("embed", "data"),
     ("embed_kv", None),
     ("mlp", "model"),

@@ -188,3 +188,65 @@ def test_lora_zero_init_is_identity_and_mask():
     # base projection kernels frozen
     assert any("q_proj/kernel" in k for k in frozen)
     assert not any("q_proj/kernel" in k for k in trainable)
+
+
+def test_scan_layers_matches_unrolled():
+    """scan_layers=True (stacked params, lax.scan body) must reproduce the
+    unrolled model's logits and gradients after stack_layer_params, and the
+    stacked layout must round-trip and match a native scanned init's
+    structure/shapes."""
+    from seed_story_tpu.models.llama import stack_layer_params, unstack_layer_params
+
+    ids = jnp.array([[1, 100, 2345, 31999, 5, 77, 9, 12]], jnp.int32)
+    labels = jnp.where(ids > 50, ids, -100)
+    kw = dict(dtype=jnp.float32, num_hidden_layers=3, lora_rank=4)
+    m_u = LlamaForCausalLM(LlamaConfig.tiny(**kw))
+    m_s = LlamaForCausalLM(LlamaConfig.tiny(**kw, scan_layers=True, remat=True))
+    p_u = flax.linen.meta.unbox(m_u.init(jax.random.PRNGKey(0), ids)["params"])
+    p_s = stack_layer_params(p_u)
+
+    # structure + shapes identical to a natively-initialized scanned model
+    p_ref = flax.linen.meta.unbox(m_s.init(jax.random.PRNGKey(1), ids)["params"])
+    assert jax.tree_util.tree_structure(p_s) == jax.tree_util.tree_structure(p_ref)
+    for a, b in zip(jax.tree_util.tree_leaves(p_s), jax.tree_util.tree_leaves(p_ref)):
+        assert a.shape == b.shape
+
+    def loss(m, p):
+        return cross_entropy_loss(m.apply({"params": p}, ids)["logits"], labels)
+
+    np.testing.assert_allclose(
+        float(loss(m_u, p_u)), float(loss(m_s, p_s)), rtol=1e-6
+    )
+    g_u = stack_layer_params(jax.grad(lambda p: loss(m_u, p))(p_u))
+    g_s = jax.grad(lambda p: loss(m_s, p))(p_s)
+    for a, b in zip(jax.tree_util.tree_leaves(g_u), jax.tree_util.tree_leaves(g_s)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
+
+    # round-trip back to the decode layout
+    rt = unstack_layer_params(p_s)
+    assert jax.tree_util.tree_structure(rt) == jax.tree_util.tree_structure(p_u)
+    for a, b in zip(jax.tree_util.tree_leaves(rt), jax.tree_util.tree_leaves(p_u)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # cache path refuses stacked params loudly
+    cache = KVCache.create(m_s.cfg, 1, 16, dtype=jnp.float32)
+    with pytest.raises(ValueError, match="scan_layers"):
+        m_s.apply({"params": p_s}, ids, cache=cache)
+
+
+def test_scan_layers_trainable_mask_paths():
+    """lora_trainable_mask must select the same leaves on the stacked tree."""
+    from seed_story_tpu.models.llama import stack_layer_params
+
+    cfg = LlamaConfig.tiny(dtype=jnp.float32, num_hidden_layers=2, lora_rank=2)
+    ids = jnp.zeros((1, 4), jnp.int32)
+    p_u = flax.linen.meta.unbox(
+        LlamaForCausalLM(cfg).init(jax.random.PRNGKey(0), ids)["params"]
+    )
+    mask_u = stack_layer_params(lora_trainable_mask(p_u))
+    mask_s = lora_trainable_mask(stack_layer_params(p_u))
+    # stack_layer_params stacks bools into (L,) arrays; collapse to scalar
+    collapse = lambda t: jax.tree_util.tree_map(
+        lambda x: bool(np.asarray(x).reshape(-1)[0]), t
+    )
+    assert collapse(mask_u) == collapse(mask_s)

@@ -180,3 +180,93 @@ def test_stage1_entry_runs(workspace):
     ]
     state = main(argv)
     assert int(state.step) == 2
+
+
+def test_stage3_time_ids_flow_end_to_end(tmp_path):
+    """A REAL datapipe batch (non-square jpgs -> keep_ratio sd transform)
+    through make_stage3_loss_fn: the batch's time_ids must carry the
+    reference's swapped-crop quirk (story_telling.py:429-438 — the
+    landscape 640x480 image puts the crop offset in the *y* slot), and the
+    UNet must actually consume them (perturbing time_ids changes the loss)."""
+    import jax.numpy as jnp
+    from PIL import Image as PILImage
+
+    from seed_story_tpu.data.builders import build_long_story_datapipe
+    from seed_story_tpu.data.story_telling import flatten_images
+    from seed_story_tpu.data.tokenizer import TinyTokenizer
+    from seed_story_tpu.data.transforms import get_transform
+    from seed_story_tpu.models.agent import AgentConfig, ContinuousLVLM
+    from seed_story_tpu.models.sdxl.adapter import SDXLAdapter, SDXLAdapterConfig
+    from seed_story_tpu.models.sdxl.vae import AutoencoderKL, VAEConfig
+    from seed_story_tpu.train.stage3 import make_stage3_loss_fn
+
+    img_dir = tmp_path / "images"
+    img_dir.mkdir()
+    names = []
+    for i in range(4):
+        name = f"s0_{i}.jpg"
+        PILImage.new("RGB", (640, 480), (10 * i, 60, 120)).save(img_dir / name)
+        names.append(name)
+    (tmp_path / "data").mkdir()
+    with open(tmp_path / "data" / "train.jsonl", "w") as f:
+        f.write(json.dumps({
+            "images": names,
+            "captions": [f"scene {i} with a dog" for i in range(4)],
+        }) + "\n")
+
+    acfg = AgentConfig.tiny()
+    pipe = build_long_story_datapipe(
+        data_dir=str(tmp_path / "data"), image_dir=str(img_dir),
+        tokenizer=TinyTokenizer(), story_len=4, max_length=128, batch_size=2,
+        min_resolution=64, min_aspect_ratio=0.2,
+        image_transform=get_transform("clip", keep_ratio=False, image_size=32),
+        sd_image_transform=get_transform("sd", keep_ratio=True, image_size=64),
+        num_img_in_tokens=acfg.num_img_in_tokens,
+        num_img_out_tokens=acfg.num_img_out_tokens,
+        cycle_count=4,
+    )
+    batch = flatten_images(next(iter(pipe)))
+    # swapped-crop quirk, now asserted on the exact batch the loss consumes
+    np.testing.assert_array_equal(
+        batch["time_ids"], [[480, 640, 10, 0, 64, 64]] * 2
+    )
+    assert batch["sd_images"].shape == (2, 3, 64, 64)
+
+    agent = ContinuousLVLM(acfg)
+    adapter_cfg = SDXLAdapterConfig.tiny(embedding_dim=acfg.vit_dim)
+    adapter = SDXLAdapter(adapter_cfg)
+    vae = AutoencoderKL(VAEConfig.tiny())
+
+    n = batch["embeds_gen_mask"].shape[0]
+    batch = {k: jnp.asarray(v) for k, v in batch.items() if k != "images"}
+    batch["image_embeds"] = jax.random.normal(
+        jax.random.PRNGKey(3), (n, acfg.num_vit_tokens, acfg.vit_dim)
+    )
+
+    rng = jax.random.PRNGKey(0)
+    agent_params = agent.init(
+        rng,
+        input_ids=batch["input_ids"], attention_mask=batch["attention_mask"],
+        labels=batch["labels"], image_embeds=batch["image_embeds"],
+        embeds_gen_mask=batch["embeds_gen_mask"],
+        embeds_cmp_mask=batch["embeds_cmp_mask"],
+        ids_gen_mask=batch["ids_gen_mask"], ids_cmp_mask=batch["ids_cmp_mask"],
+    )["params"]
+    sd_nhwc = jnp.transpose(batch["sd_images"], (0, 2, 3, 1))
+    vae_params = vae.init(rng, sd_nhwc, rng=rng, method=vae.encode)["params"]
+    lat_c = adapter_cfg.unet.in_channels
+    adapter_params = adapter.init(
+        rng, jnp.zeros((2, 8, 8, lat_c)), jnp.array([1, 2]),
+        jnp.zeros((2, acfg.num_vit_tokens, acfg.vit_dim)),
+        jnp.ones((2, 6)), jnp.zeros((2, 8, 8, lat_c)),
+    )["params"]
+
+    loss_fn = make_stage3_loss_fn(adapter, agent, agent_params, vae, vae_params)
+    loss, metrics = loss_fn(adapter_params, batch, jax.random.PRNGKey(7))
+    assert np.isfinite(float(loss))
+
+    # time_ids are consumed: a large perturbation moves the loss
+    batch2 = dict(batch)
+    batch2["time_ids"] = batch["time_ids"] + 4096
+    loss2, _ = loss_fn(adapter_params, batch2, jax.random.PRNGKey(7))
+    assert abs(float(loss2) - float(loss)) > 1e-6
