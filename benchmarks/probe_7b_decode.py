@@ -1,13 +1,20 @@
-"""7B LLaMA decode/prefill speed on one TPU chip (bf16, LoRA r16)."""
+"""7B LLaMA decode/prefill speed on one TPU chip (bf16, LoRA r16).
+
+--int8: weight-only int8 projections/lm_head (quantize_llama_params) —
+decode at B=1 is HBM-bound on parameter bytes, so int8 targets ~2x.
+"""
 import sys; sys.path.insert(0, "/root/repo")
 import time
+INT8 = "--int8" in sys.argv
 import jax, jax.numpy as jnp
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 from seed_story_tpu.models.llama import LlamaConfig, LlamaForCausalLM, KVCache
 import flax.linen as nn
 # LLaMA-2-7B exact shape, bf16 params (13.4GB), 512-slot cache (1.1GB)
-cfg = LlamaConfig(dtype=jnp.bfloat16, param_dtype=jnp.bfloat16, lora_rank=16)
+cfg = LlamaConfig(dtype=jnp.bfloat16, param_dtype=jnp.bfloat16, lora_rank=16,
+                  quantize_base=INT8)
 m = LlamaForCausalLM(cfg)
+print("int8 weight-only:", INT8, flush=True)
 ids = jnp.ones((1, 8), jnp.int32)
 t0=time.time()
 p = jax.jit(lambda: m.init(jax.random.PRNGKey(0), ids)["params"])()

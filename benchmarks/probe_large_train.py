@@ -21,6 +21,9 @@ p.add_argument("--inter", type=int, default=0, help="0 -> 2.6875*h rounded to 25
 p.add_argument("--b", type=int, default=4)
 p.add_argument("--s", type=int, default=1280)
 p.add_argument("--scan", action="store_true")
+p.add_argument("--ce-chunk", type=int, default=0)
+p.add_argument("--int8", action="store_true",
+               help="QLoRA-style: frozen base projections stored int8")
 p.add_argument("--steps", type=int, default=5)
 args = p.parse_args()
 
@@ -40,12 +43,13 @@ from seed_story_tpu.train.trainer import TrainConfig, Trainer
 H, L, heads, B, S, NI = args.h, args.l, args.heads, args.b, args.s, 4
 inter = args.inter or (int(H * 2.6875) // 256) * 256
 print(f"config: H={H} L={L} heads={heads} inter={inter} B={B} S={S} "
-      f"scan_layers={args.scan}", flush=True)
+      f"scan_layers={args.scan} ce_chunk={args.ce_chunk} int8={args.int8}", flush=True)
 
 llm = LlamaConfig(
     hidden_size=H, intermediate_size=inter, num_hidden_layers=L,
     num_attention_heads=heads, lora_rank=16, remat=True,
-    scan_layers=args.scan, dtype=jnp.bfloat16, param_dtype=jnp.bfloat16,
+    scan_layers=args.scan, ce_chunk_size=args.ce_chunk,
+    quantize_base=args.int8, dtype=jnp.bfloat16, param_dtype=jnp.bfloat16,
 )
 acfg = AgentConfig(llm=llm, resampler_heads=heads, vit_dim=H)
 agent = ContinuousLVLM(acfg)
@@ -82,9 +86,21 @@ trainer = Trainer(
 )
 with mesh:
     t0 = time.time()
-    params = nn.meta.unbox(
-        jax.jit(lambda: agent.init(jax.random.PRNGKey(0), **batch)["params"])()
-    )
+    def init_params():
+        p = nn.meta.unbox(agent.init(jax.random.PRNGKey(0), **batch)["params"])
+        if args.int8:
+            # int8 kernels init to zeros; randomize so the probe's compute
+            # is non-degenerate (values don't matter for a speed probe)
+            def rnd(path, x):
+                if x.dtype == jnp.int8:
+                    key = jax.random.PRNGKey(hash(str(path)) % (2**31))
+                    return jax.random.randint(key, x.shape, -127, 128, jnp.int32).astype(jnp.int8)
+                if str(path[-1].key) == "kernel_scale" if hasattr(path[-1], "key") else False:
+                    return jnp.full_like(x, 1e-2)
+                return x
+            p = jax.tree_util.tree_map_with_path(rnd, p)
+        return p
+    params = jax.jit(init_params)()
     n = sum(x.size for x in jax.tree_util.tree_leaves(params))
     print(f"{n/1e9:.2f}B params; init {time.time()-t0:.0f}s", flush=True)
     state = trainer.init_state(params)

@@ -183,14 +183,23 @@ class ContinuousLVLM(nn.Module):
             input_embeds, image_embeds_lm, ids_cmp_mask, embeds_cmp_mask
         )
 
-        out = self.llm(
-            inputs_embeds=input_embeds,
-            attention_mask=attention_mask,
-            deterministic=deterministic,
-        )
-        lm_loss = cross_entropy_loss(out["logits"], labels)
-
-        hidden = out["hidden_states"]
+        if cfg.llm.ce_chunk_size:
+            # memory-lean path: no (B, S, V) logits — decoder stack, then
+            # CE in rematerialized sequence chunks (llama.py chunked_loss)
+            hidden = self.llm.hidden_states(
+                inputs_embeds=input_embeds,
+                attention_mask=attention_mask,
+                deterministic=deterministic,
+            )
+            lm_loss = self.llm.chunked_loss(hidden, labels)
+        else:
+            out = self.llm(
+                inputs_embeds=input_embeds,
+                attention_mask=attention_mask,
+                deterministic=deterministic,
+            )
+            lm_loss = cross_entropy_loss(out["logits"], labels)
+            hidden = out["hidden_states"]
         gen_blocks = gather_image_hidden(
             hidden, ids_gen_mask, embeds_gen_mask, cfg.num_img_out_tokens
         )  # (N, nq_out_in, D)

@@ -118,6 +118,20 @@ class LlamaConfig:
     # stack_layer_params / unstack_layer_params. Decode (cache) paths keep
     # per-layer buffers and require unstacked params.
     scan_layers: bool = False
+    # Training CE in sequence chunks of this size (0 = whole sequence at
+    # once): never materializes the (B, S, V) logits/log-softmax — at
+    # 7B/seq-1280 those fp32+bf16 buffers are ~470MB of HLO temp, the
+    # difference between fitting and OOMing the 16GB chip. Backward
+    # recomputes each chunk's logits (remat inside the scan).
+    ce_chunk_size: int = 0
+    # Weight-only int8 for the 7 projection kernels (per-output-channel
+    # symmetric scales; LoRA/norms/embeddings/lm_head stay high precision —
+    # the reference recipe trains those). Two uses: (1) B=1 decode is
+    # HBM-bound on parameter reads, so halving the bytes nearly halves
+    # ms/token; (2) QLoRA-style training — the base was frozen anyway, and
+    # int8 storage is what fits the 7B agent step on one 16GB chip.
+    # Convert trained/converted weights with quantize_llama_params.
+    quantize_base: bool = False
     dtype: Dtype = jnp.bfloat16
     param_dtype: Dtype = jnp.float32
 
@@ -193,7 +207,13 @@ class RMSNorm(nn.Module):
 
 
 class LoRADense(nn.Module):
-    """Dense layer with optional LoRA adapter: y = xW + (alpha/r)·(xA)B."""
+    """Dense layer with optional LoRA adapter: y = xW + (alpha/r)·(xA)B.
+
+    With ``quantize=True`` the base kernel is stored int8 with a
+    per-output-channel scale (``kernel_scale``); the matmul runs in
+    ``dtype`` on the converted weight, so HBM reads the int8 bytes and the
+    MXU still sees bf16. LoRA terms stay in ``param_dtype``.
+    """
 
     features: int
     use_bias: bool = False
@@ -201,21 +221,41 @@ class LoRADense(nn.Module):
     lora_alpha: float = 32.0
     lora_dropout: float = 0.0
     kernel_axes: Tuple[str, str] = ("embed", "mlp")
+    quantize: bool = False
     dtype: Dtype = jnp.bfloat16
     param_dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         in_features = x.shape[-1]
-        kernel = self.param(
-            "kernel",
-            nn.with_logical_partitioning(
-                nn.initializers.lecun_normal(), self.kernel_axes
-            ),
-            (in_features, self.features),
-            self.param_dtype,
-        )
-        y = jnp.dot(x, kernel.astype(self.dtype))
+        if self.quantize:
+            kernel = self.param(
+                "kernel",
+                nn.with_logical_partitioning(
+                    nn.initializers.zeros, self.kernel_axes
+                ),
+                (in_features, self.features),
+                jnp.int8,
+            )
+            scale = self.param(
+                "kernel_scale",
+                nn.with_logical_partitioning(
+                    nn.initializers.ones, (self.kernel_axes[-1],)
+                ),
+                (self.features,),
+                self.param_dtype,
+            )
+            y = jnp.dot(x, kernel.astype(self.dtype)) * scale.astype(self.dtype)
+        else:
+            kernel = self.param(
+                "kernel",
+                nn.with_logical_partitioning(
+                    nn.initializers.lecun_normal(), self.kernel_axes
+                ),
+                (in_features, self.features),
+                self.param_dtype,
+            )
+            y = jnp.dot(x, kernel.astype(self.dtype))
         if self.use_bias:
             bias = self.param(
                 "bias",
@@ -278,6 +318,7 @@ class LlamaAttention(nn.Module):
                 lora_alpha=cfg.lora_alpha,
                 lora_dropout=cfg.lora_dropout,
                 kernel_axes=("embed", out_axis),
+                quantize=cfg.quantize_base,
                 dtype=cfg.dtype,
                 param_dtype=cfg.param_dtype,
                 name=name,
@@ -341,8 +382,8 @@ class LlamaAttention(nn.Module):
         o_proj = LoRADense(
             features=cfg.hidden_size, lora_rank=cfg.lora_rank,
             lora_alpha=cfg.lora_alpha, lora_dropout=cfg.lora_dropout,
-            kernel_axes=("heads", "embed"), dtype=cfg.dtype,
-            param_dtype=cfg.param_dtype, name="o_proj",
+            kernel_axes=("heads", "embed"), quantize=cfg.quantize_base,
+            dtype=cfg.dtype, param_dtype=cfg.param_dtype, name="o_proj",
         )
         out = o_proj(out, deterministic)
         return out, new_cache_slice
@@ -359,8 +400,8 @@ class LlamaMLP(nn.Module):
             return LoRADense(
                 features=features, lora_rank=cfg.lora_rank,
                 lora_alpha=cfg.lora_alpha, lora_dropout=cfg.lora_dropout,
-                kernel_axes=axes, dtype=cfg.dtype, param_dtype=cfg.param_dtype,
-                name=name,
+                kernel_axes=axes, quantize=cfg.quantize_base,
+                dtype=cfg.dtype, param_dtype=cfg.param_dtype, name=name,
             )
 
         gate = proj(cfg.intermediate_size, "gate_proj", ("embed", "mlp"))(x, deterministic)
@@ -505,6 +546,9 @@ class LlamaForCausalLM(nn.Module):
     def setup(self):
         cfg = self.cfg
         self.model = LlamaModel(cfg)
+        # lm_head stays high-precision even under quantize_base: the
+        # reference recipe TRAINS it (modules_to_save, peft_models.py) and
+        # it is ~2% of decode bytes.
         self.lm_head = LoRADense(
             features=cfg.vocab_padded, lora_rank=0,
             kernel_axes=("embed", "vocab"),
@@ -548,6 +592,66 @@ class LlamaForCausalLM(nn.Module):
 
     def embed(self, input_ids):
         return self.model.embed_tokens_only(input_ids)
+
+    def hidden_states(
+        self, input_ids=None, *, inputs_embeds=None, attention_mask=None,
+        seq_lengths=None, deterministic=True,
+    ):
+        """Decoder stack only — no lm_head. Pair with :meth:`chunked_loss`
+        to train without ever materializing (B, S, V) logits."""
+        hidden, _ = self.model(
+            input_ids, inputs_embeds=inputs_embeds,
+            attention_mask=attention_mask, seq_lengths=seq_lengths,
+            deterministic=deterministic,
+        )
+        return hidden
+
+    def chunked_loss(self, hidden, labels, ignore_index: int = -100):
+        """Next-token CE, numerically equal to
+        ``cross_entropy_loss(lm_head(hidden), labels)``, computed in
+        ``cfg.ce_chunk_size`` sequence chunks inside a rematerialized scan:
+        each chunk's logits (and fp32 log-softmax) live only inside one
+        scan iteration, and the backward recomputes them per chunk."""
+        cfg = self.cfg
+        chunk = cfg.ce_chunk_size or hidden.shape[1]
+        h = hidden[:, :-1]
+        lab = labels[:, 1:]
+        b, s, d = h.shape
+        pad = (-s) % chunk
+        h = jnp.pad(h, ((0, 0), (0, pad), (0, 0)))
+        lab = jnp.pad(lab, ((0, 0), (0, pad)), constant_values=ignore_index)
+        n_chunks = (s + pad) // chunk
+        h = h.reshape(b, n_chunks, chunk, d).transpose(1, 0, 2, 3)
+        lab = lab.reshape(b, n_chunks, chunk).transpose(1, 0, 2)
+
+        vocab_pad = (
+            jnp.arange(cfg.vocab_padded) >= cfg.vocab_size
+            if cfg.vocab_padded != cfg.vocab_size else None
+        )
+
+        def body(head, carry, xs):
+            hc, lc = xs
+            logits = head(hc).astype(jnp.float32)
+            if vocab_pad is not None:
+                logits = jnp.where(vocab_pad, -1e9, logits)
+            valid = lc != ignore_index
+            safe = jnp.where(valid, lc, 0)
+            logp = jax.nn.log_softmax(logits, axis=-1)
+            tll = jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+            step = jnp.stack(
+                [-(tll * valid).sum(), valid.sum().astype(jnp.float32)]
+            )
+            return carry + step, None
+
+        scanned = nn.scan(
+            nn.remat(body, prevent_cse=False),
+            variable_broadcast="params",
+            split_rngs={"params": False, "dropout": False},
+            in_axes=0,
+            length=n_chunks,
+        )
+        totals, _ = scanned(self.lm_head, jnp.zeros((2,), jnp.float32), (h, lab))
+        return totals[0] / jnp.maximum(totals[1], 1.0)
 
 
 def cross_entropy_loss(logits, labels, ignore_index: int = -100):
@@ -605,6 +709,45 @@ def unstack_layer_params(params):
                     )
             else:
                 out[k] = convert(v)
+        return out
+
+    return convert(nn.meta.unbox(params))
+
+
+_QUANT_MODULES = frozenset(
+    ("q_proj", "k_proj", "v_proj", "o_proj", "gate_proj", "up_proj",
+     "down_proj")
+)
+
+
+def quantize_llama_params(params):
+    """bf16/fp32 param tree -> the layout a ``quantize_base=True`` model
+    expects: each projection/lm_head ``kernel`` becomes int8 with a
+    per-output-channel symmetric ``kernel_scale`` (scale = col-max|w|/127).
+    Everything else (LoRA, norms, embeddings, lm_head, resamplers) is
+    untouched, so
+    the same function quantizes a full agent tree in place."""
+
+    def quantize_kernel(w):
+        w = jnp.asarray(w, jnp.float32)
+        scale = jnp.max(jnp.abs(w), axis=0) / 127.0
+        scale = jnp.maximum(scale, 1e-8)
+        q = jnp.clip(jnp.round(w / scale), -127, 127).astype(jnp.int8)
+        return q, scale
+
+    def convert(d, in_quant_module=False):
+        if not isinstance(d, dict):
+            return d
+        out = {}
+        for k, v in d.items():
+            if isinstance(v, dict):
+                out[k] = convert(v, k in _QUANT_MODULES)
+            elif k == "kernel" and in_quant_module and v.ndim == 2:
+                q, scale = quantize_kernel(v)
+                out["kernel"] = q
+                out["kernel_scale"] = scale
+            else:
+                out[k] = v
         return out
 
     return convert(nn.meta.unbox(params))

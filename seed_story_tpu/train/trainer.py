@@ -111,8 +111,30 @@ class Trainer:
         self.batch_sharding = batch_sharding
         self.replicated = NamedSharding(mesh, P())
         self.trainable_mask = trainable_mask
-        self.tx = make_optimizer(cfg, trainable_mask)
+        # With a mask, the Trainer partitions the tree itself and runs the
+        # optimizer over ONLY the trainable leaves: gradients for frozen
+        # params never exist (no stop_gradient+DCE reliance), frozen leaves
+        # may even be non-differentiable dtypes (int8 quantize_base), and
+        # the Adam state is exactly the trainable set.
+        self._mask_flat = (
+            jax.tree_util.tree_leaves(trainable_mask)
+            if trainable_mask is not None else None
+        )
+        self.tx = make_optimizer(cfg, None)
         self._jitted = None
+
+    # -- trainable-subtree partition -----------------------------------
+
+    def _trainable_leaves(self, tree):
+        leaves = jax.tree_util.tree_leaves(tree)
+        return [l for l, m in zip(leaves, self._mask_flat) if m]
+
+    def _with_trainable(self, tree, t_leaves):
+        leaves = jax.tree_util.tree_leaves(tree)
+        treedef = jax.tree_util.tree_structure(tree)
+        it = iter(t_leaves)
+        merged = [next(it) if m else l for l, m in zip(leaves, self._mask_flat)]
+        return jax.tree_util.tree_unflatten(treedef, merged)
 
     # -- state --------------------------------------------------------
 
@@ -121,19 +143,25 @@ class Trainer:
         # the caller must not reuse the arrays it passed in (copying here
         # would double peak memory — prohibitive at 7B scale).
         params = jax.device_put(params, self.param_sharding)
-        opt_sharding = self.opt_state_sharding(params)
-        opt_state = jax.jit(self.tx.init, out_shardings=opt_sharding)(params)
+        opt_target = (
+            self._trainable_leaves(params)
+            if self.trainable_mask is not None else params
+        )
+        opt_sharding = self.opt_state_sharding(opt_target)
+        opt_state = jax.jit(self.tx.init, out_shardings=opt_sharding)(opt_target)
         return TrainState(params, opt_state, jnp.zeros((), jnp.int32))
 
-    def opt_state_sharding(self, params):
+    def opt_state_sharding(self, opt_target):
         """Adam moments mirror param shapes -> inherit the param sharding;
-        scalars (step counts) replicate. Matching is by (shape, dtype)."""
-        shapes = jax.eval_shape(self.tx.init, params)
+        scalars (step counts) replicate. Matching is by (shape, dtype).
+        ``opt_target`` is the full tree, or the trainable-leaf list when a
+        mask partitions the state."""
+        shapes = jax.eval_shape(self.tx.init, opt_target)
+        shardings = jax.tree_util.tree_leaves(self.param_sharding)
+        if self.trainable_mask is not None:
+            shardings = [s for s, m in zip(shardings, self._mask_flat) if m]
         shape_to_sharding = {}
-        for p, s in zip(
-            jax.tree_util.tree_leaves(params),
-            jax.tree_util.tree_leaves(self.param_sharding),
-        ):
+        for p, s in zip(jax.tree_util.tree_leaves(opt_target), shardings):
             shape_to_sharding.setdefault((p.shape, str(p.dtype)), s)
 
         def pick(leaf):
@@ -145,36 +173,41 @@ class Trainer:
 
     def _train_step(self, state: TrainState, batch, rng):
         cfg = self.cfg
+        params = state.params
+        masked = self.trainable_mask is not None
 
-        def loss_with_frozen(params, micro):
-            if self.trainable_mask is not None:
-                # stop_gradient on frozen leaves: their cotangents become
-                # constants and XLA DCEs the buffers (matters at 7B — a
-                # full-tree grad would double param memory for nothing)
-                params = jax.tree_util.tree_map(
-                    lambda m, p: p if m else jax.lax.stop_gradient(p),
-                    self.trainable_mask, params,
+        if masked:
+            # differentiate w.r.t. the trainable leaves only; frozen leaves
+            # enter the loss as plain (possibly int8) constants
+            def loss_of(t_leaves, micro):
+                return self.loss_fn(
+                    self._with_trainable(params, t_leaves), micro, rng
                 )
-            return self.loss_fn(params, micro, rng)
 
-        def microbatch_grads(params, micro):
+            opt_target = self._trainable_leaves(params)
+        else:
+            def loss_of(p, micro):
+                return self.loss_fn(p, micro, rng)
+
+            opt_target = params
+
+        def microbatch_grads(micro):
             (loss, metrics), grads = jax.value_and_grad(
-                loss_with_frozen, has_aux=True
-            )(params, micro)
+                loss_of, has_aux=True
+            )(opt_target, micro)
             metrics = dict(metrics)
             metrics["loss"] = loss
             return grads, metrics
 
-        params = state.params
         if cfg.grad_accum_steps > 1:
             # batch leaves are stacked (accum, micro_bs, ...): run the first
             # microbatch to fix the metric structure, scan the rest.
             first = jax.tree_util.tree_map(lambda x: x[0], batch)
-            g_first, m_first = microbatch_grads(params, first)
+            g_first, m_first = microbatch_grads(first)
 
             def scan_body(carry, micro):
                 g_acc, m_acc = carry
-                g, m = microbatch_grads(params, micro)
+                g, m = microbatch_grads(micro)
                 return (
                     jax.tree_util.tree_map(jnp.add, g_acc, g),
                     jax.tree_util.tree_map(jnp.add, m_acc, m),
@@ -185,10 +218,13 @@ class Trainer:
             grads = jax.tree_util.tree_map(lambda g: g / cfg.grad_accum_steps, g_sum)
             metrics = jax.tree_util.tree_map(lambda m: m / cfg.grad_accum_steps, m_sum)
         else:
-            grads, metrics = microbatch_grads(params, batch)
+            grads, metrics = microbatch_grads(batch)
 
-        updates, new_opt = self.tx.update(grads, state.opt_state, params)
-        new_params = optax.apply_updates(params, updates)
+        updates, new_opt = self.tx.update(grads, state.opt_state, opt_target)
+        new_target = optax.apply_updates(opt_target, updates)
+        new_params = (
+            self._with_trainable(params, new_target) if masked else new_target
+        )
         metrics["grad_norm"] = optax.global_norm(grads)
         return TrainState(new_params, new_opt, state.step + 1), metrics
 

@@ -250,3 +250,40 @@ def test_scan_layers_trainable_mask_paths():
         lambda x: bool(np.asarray(x).reshape(-1)[0]), t
     )
     assert collapse(mask_u) == collapse(mask_s)
+
+
+def test_quantize_base_int8():
+    """Weight-only int8 (quantize_base=True + quantize_llama_params): the
+    converted tree matches a native quantized init's structure, logits stay
+    close in distribution (KL), and the cache/decode path runs."""
+    from seed_story_tpu.models.llama import quantize_llama_params
+
+    kw = dict(dtype=jnp.float32, num_hidden_layers=2, lora_rank=4)
+    m = LlamaForCausalLM(LlamaConfig.tiny(**kw))
+    mq = LlamaForCausalLM(LlamaConfig.tiny(**kw, quantize_base=True))
+    ids = jnp.asarray(
+        np.random.RandomState(0).randint(5, 30000, (2, 12)), jnp.int32
+    )
+    p = flax.linen.meta.unbox(m.init(jax.random.PRNGKey(0), ids)["params"])
+    pq = quantize_llama_params(p)
+
+    pr = flax.linen.meta.unbox(mq.init(jax.random.PRNGKey(1), ids)["params"])
+    assert jax.tree_util.tree_structure(pq) == jax.tree_util.tree_structure(pr)
+    assert pq["model"]["layers_0"]["self_attn"]["q_proj"]["kernel"].dtype == jnp.int8
+    # LoRA / norms / embeddings untouched
+    assert pq["model"]["layers_0"]["self_attn"]["q_proj"]["lora_a"].dtype == jnp.float32
+    assert pq["model"]["embed_tokens"]["embedding"].dtype == jnp.float32
+
+    V = m.cfg.vocab_size
+    lo = m.apply({"params": p}, ids)["logits"][..., :V]
+    lq = mq.apply({"params": pq}, ids)["logits"][..., :V]
+    kl = jnp.sum(
+        jax.nn.softmax(lo) * (jax.nn.log_softmax(lo) - jax.nn.log_softmax(lq)),
+        axis=-1,
+    )
+    assert float(kl.mean()) < 5e-3, float(kl.mean())
+
+    cache = KVCache.create(mq.cfg, 2, 32, dtype=jnp.float32)
+    out = mq.apply({"params": pq}, ids, cache=cache)
+    assert out["logits"].shape == (2, 12, mq.cfg.vocab_padded)
+    assert np.isfinite(np.asarray(out["logits"][..., :V])).all()
