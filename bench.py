@@ -28,6 +28,9 @@ Scale via env:
   SEED_STORY_BENCH_SEGMENTS (default 4)
   SEED_STORY_BENCH_SDXL = 1 (default) | 0 (stub the de-tokenizer)
   SEED_STORY_BENCH_STEPS = 50 (SDXL denoise steps)
+  SEED_STORY_BENCH_INT8 = 1 (default, full preset only): weight-only int8
+      projections for the MLLM decode phase (quantize_base) — B=1 decode
+      is HBM-bound, int8 params measured 10.7 ms/token vs 18.6 bf16.
 """
 
 import gc
@@ -41,7 +44,7 @@ import numpy as np
 A100_REFERENCE_SEGMENTS_PER_MIN = 2.75  # PERF.md estimate, see module docstring
 
 
-def build(preset: str):
+def build(preset: str, int8: bool = False):
     import jax.numpy as jnp
 
     from seed_story_tpu.models.agent import AgentConfig
@@ -65,7 +68,8 @@ def build(preset: str):
     # full: exact LLaMA-2-7B agent (reference llama2chat7b_lora.yaml dims,
     # random weights — no checkpoints in this environment), 500 new
     # tokens/segment like gen_george.py:189-195.
-    llm = LlamaConfig(dtype=jnp.bfloat16, param_dtype=jnp.bfloat16, lora_rank=16)
+    llm = LlamaConfig(dtype=jnp.bfloat16, param_dtype=jnp.bfloat16,
+                      lora_rank=16, quantize_base=int8)
     return AgentConfig(llm=llm), 500
 
 
@@ -105,9 +109,23 @@ def run_mllm_phase(preset, acfg, max_new, n_segments, window):
     )
     import flax.linen as nn
 
-    params = nn.meta.unbox(
-        jax.jit(lambda: agent.init(jax.random.PRNGKey(0), **init_args)["params"])()
-    )
+    def init_params():
+        p = nn.meta.unbox(agent.init(jax.random.PRNGKey(0), **init_args)["params"])
+
+        # int8 kernels init to zeros; randomize so decode compute is
+        # non-degenerate (weights are random either way — no checkpoints
+        # in this environment; bytes moved, not values, set the speed)
+        def rnd(path, x):
+            if x.dtype == jnp.int8:
+                key = jax.random.PRNGKey(hash(str(path)) % (2**31))
+                return jax.random.randint(
+                    key, x.shape, -127, 128, jnp.int32
+                ).astype(jnp.int8)
+            return x
+
+        return jax.tree_util.tree_map_with_path(rnd, p)
+
+    params = jax.jit(init_params)()
 
     # size the static shapes to the story: a window-W prompt maxes out around
     # start + W*(max_new + 70) tokens; one bucket covering that => ONE
@@ -222,7 +240,10 @@ def main():
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-    acfg, max_new = build(preset)
+    int8 = (
+        os.environ.get("SEED_STORY_BENCH_INT8", "1") == "1" and preset == "full"
+    )
+    acfg, max_new = build(preset, int8)
     # window-4 on the single chip: 13.5GB of 7B params + the window-8
     # 500-token KV footprint (~4.7k slots = 2.4GB) exceed 16GB HBM; window-4
     # (2.9k slots = 1.5GB) fits. The reference window-8 envelope is the
@@ -247,7 +268,7 @@ def main():
 
     detok = (f"SDXL-base 1024px {sdxl_steps}-step CFG" if use_sdxl
              else "detok stubbed")
-    scale = "7B" if preset == "full" else preset
+    scale = ("7B int8-weight decode" if int8 else "7B") if preset == "full" else preset
     result = {
         "metric": f"story segments/min (text+image; {scale} MLLM, "
                   f"{max_new} new tokens/segment, window-{window}; {detok}; "

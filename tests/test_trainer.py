@@ -106,3 +106,67 @@ def test_grad_accum_matches_mean():
     l2 = jax.tree_util.tree_leaves(s2b.params)
     for a, b in zip(l1, l2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
+
+
+def test_onechip_7b_recipe_trains_tiny():
+    """The single-chip 7B recipe (scan_layers + ce_chunk_size + int8 frozen
+    base) at pico scale: LoRA/norm/embed params update, frozen int8 kernels
+    and their scales don't, loss decreases, metrics finite."""
+    from seed_story_tpu.models.llama import LlamaConfig, lora_trainable_mask
+
+    acfg, batch = _tiny_batch(bs=4)
+    acfg = AgentConfig.tiny(
+        llm=LlamaConfig.tiny(
+            dtype=jnp.float32, lora_rank=2, remat=True,
+            scan_layers=True, ce_chunk_size=16, quantize_base=True,
+        )
+    )
+    agent = ContinuousLVLM(acfg)
+    mesh = make_mesh(data=4, model=1)
+    abstract = jax.eval_shape(
+        lambda: agent.init(jax.random.PRNGKey(0), **batch)
+    )["params"]
+    mask = lora_trainable_mask(nn.meta.unbox(abstract))
+    for k in ("input_resampler", "output_resampler"):
+        mask[k] = jax.tree_util.tree_map(lambda _: True, mask[k])
+    trainer = Trainer(
+        mesh, abstract, make_stage2_loss_fn(agent),
+        TrainConfig(learning_rate=1e-3, warmup_steps=1, training_steps=10,
+                    sharding_preset="fsdp"),
+        trainable_mask=mask,
+    )
+    with mesh:
+        params = nn.meta.unbox(
+            jax.jit(lambda: agent.init(jax.random.PRNGKey(0), **batch)["params"])()
+        )
+        # randomize the int8 kernels (init is zeros) and give them a sane
+        # per-channel scale (ones-init scales make |W|~16 and saturate
+        # attention — grads vanish)
+        def fill(path, x):
+            if x.dtype == jnp.int8:
+                return (
+                    np.random.RandomState(0)
+                    .randint(-127, 128, x.shape)
+                    .astype(np.int8)
+                )
+            name = str(path[-1].key) if hasattr(path[-1], "key") else ""
+            if name == "kernel_scale":
+                return jnp.full_like(x, 0.02 / 127.0)
+            return x
+
+        params = jax.tree_util.tree_map_with_path(fill, params)
+        kern0 = np.asarray(
+            params["llm"]["model"]["layers"]["self_attn"]["q_proj"]["kernel"]
+        )
+        state = trainer.init_state(params)
+        losses = []
+        for i in range(6):
+            state, m = trainer.step(state, batch, jax.random.PRNGKey(i))
+            losses.append(float(m["loss"]))
+        assert all(np.isfinite(losses))
+        assert losses[-1] < losses[0], losses
+        p = state.params["llm"]["model"]["layers"]["self_attn"]["q_proj"]
+        # frozen int8 base + its scale untouched; LoRA moved
+        np.testing.assert_array_equal(np.asarray(p["kernel"]), kern0)
+        assert p["kernel"].dtype == jnp.int8
+        assert float(np.abs(np.asarray(p["lora_b"])).max()) > 0.0
