@@ -127,16 +127,19 @@ def run_mllm_phase(preset, acfg, max_new, n_segments, window):
 
     params = jax.jit(init_params)()
 
-    # size the static shapes to the story: a window-W prompt maxes out around
-    # start + W*(max_new + 70) tokens; one bucket covering that => ONE
-    # compiled program for the whole story.
+    # static-shape sizing: a window-W prompt maxes out around
+    # start + W*(max_new + 70) tokens. Fine-grained 512-token prompt
+    # buckets (instead of one story-max bucket) let EARLY segments run a
+    # small prefill + a bucket-sized KV cache — decode reads the whole
+    # capacity buffer every token, so segment 1 pays ~1.4GB/token instead
+    # of the worst case ~3.1GB. Each bucket is its own compile; the
+    # warmup pass below covers all of them (persistent cache across runs).
     max_prompt = 80 + window * (max_new + 70)
-    bucket = (max_prompt + 127) // 128 * 128
     gcfg = GenerateConfig(
         max_new_tokens=max_new,
         num_img_gen_tokens=acfg.num_img_out_tokens,
         cache_capacity=(max_prompt + max_new + 127) // 128 * 128,
-        prompt_bucket=bucket,
+        prompt_bucket=512 if preset == "full" else 128,
         force_boi_at=max_new - acfg.num_img_out_tokens - 8,
         max_context_images=window,
         return_cache=False,  # story flow never reads it back; saves a 7B-cache copy
@@ -163,7 +166,9 @@ def run_mllm_phase(preset, acfg, max_new, n_segments, window):
             )
         )
 
-    run_story(1)  # warmup: compiles prefill (one bucket) + decode loop
+    # warmup: a FULL story pass compiles every prompt bucket the timed
+    # pass will hit (compiles must not land inside the timed region)
+    run_story(n_segments)
 
     t0 = time.perf_counter()
     segs = run_story(n_segments)

@@ -6,6 +6,10 @@ decode at B=1 is HBM-bound on parameter bytes, so int8 targets ~2x.
 import sys; sys.path.insert(0, "/root/repo")
 import time
 INT8 = "--int8" in sys.argv
+CACHE = 512
+for a in sys.argv[1:]:
+    if a.startswith("--cache="):
+        CACHE = int(a.split("=")[1])
 import jax, jax.numpy as jnp
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 from seed_story_tpu.models.llama import LlamaConfig, LlamaForCausalLM, KVCache
@@ -33,7 +37,8 @@ def decode_n(p, cache, tok, n):
     cache, tok = jax.lax.fori_loop(0, n, body, (cache, tok))
     return tok
 f = jax.jit(decode_n, static_argnames="n")
-cache = KVCache.create(cfg, 1, 512, jnp.bfloat16)
+cache = KVCache.create(cfg, 1, CACHE, jnp.bfloat16)
+print("cache slots:", CACHE, flush=True)
 t0=time.time()
 r = int(f(p, cache, jnp.int32(5), 64))
 print("decode compile+run:", round(time.time()-t0,1), "s", flush=True)

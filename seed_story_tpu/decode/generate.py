@@ -219,9 +219,16 @@ class StoryGenerator:
 
         def impl_fresh_cache(params, input_ids, prompt_len, image_embeds,
                              embeds_cmp_mask, ids_cmp_mask):
+            # size the fresh cache to THIS bucket (static at trace time):
+            # decode attention reads the whole capacity buffer every token,
+            # so a short early-story prompt should not pay for the
+            # worst-case capacity — at 7B a 2944-slot cache is ~3.1GB of
+            # reads/token vs ~1.4GB for a 1280-slot one.
+            bucket = input_ids.shape[1]
+            need = bucket + self.cfg.max_new_tokens
+            capacity = min(self.cfg.cache_capacity, ((need + 127) // 128) * 128)
             cache = KVCache.create(
-                llm_cfg, batch=1, capacity=self.cfg.cache_capacity,
-                dtype=llm_cfg.dtype,
+                llm_cfg, batch=1, capacity=capacity, dtype=llm_cfg.dtype,
             )
             return self._generate_impl(
                 params, input_ids, prompt_len, image_embeds,

@@ -360,18 +360,24 @@ class LlamaAttention(nn.Module):
             v_buf = jax.vmap(insert)(cache.v[layer_idx], v.astype(cache.v[layer_idx].dtype), start)
             new_cache_slice = (k_buf, v_buf)
             new_len = seq_lengths if seq_lengths is not None else s
-            # single-token decode: two masked matvecs in plain XLA beat a
-            # Pallas kernel launch (measured ~15% faster per decode step)
-            impl = "xla" if s == 1 else "auto"
-            out = _maybe_sharded_mha(
-                cfg,
-                q.astype(cfg.dtype),
-                k_buf.astype(cfg.dtype),
-                v_buf.astype(cfg.dtype),
-                q_start=start,
-                kv_len=start + new_len,
-                implementation=impl,
-            )
+            if s == 1:
+                # single-token decode: masked matvecs with NO fp32 cache
+                # copy (ops/attention.py decode_attention) — beats both a
+                # Pallas launch and the fp32-casting reference path
+                from ..ops.attention import decode_attention
+
+                out = decode_attention(
+                    q.astype(cfg.dtype), k_buf, v_buf, kv_len=start + new_len
+                )
+            else:
+                out = _maybe_sharded_mha(
+                    cfg,
+                    q.astype(cfg.dtype),
+                    k_buf.astype(cfg.dtype),
+                    v_buf.astype(cfg.dtype),
+                    q_start=start,
+                    kv_len=start + new_len,
+                )
         else:
             kv_len = None
             if attention_mask is not None:

@@ -101,6 +101,49 @@ def mha_reference(
     return out.astype(q.dtype)
 
 
+def decode_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    kv_len: jax.Array,
+    scale: Optional[float] = None,
+) -> jax.Array:
+    """Single-query attention tuned for the decode hot path.
+
+    K/V are read in their STORED dtype with fp32 MXU accumulation
+    (preferred_element_type) — unlike ``mha_reference`` there is no
+    ``astype(float32)`` on the cache, which XLA can materialize as a copy:
+    at 7B story shapes the cache is ~3GB/token of reads, and doubling that
+    to fp32 costs ~4 ms/token. GQA is handled by folding the group into
+    the query rows (no repeated K/V). Softmax stays fp32; probabilities
+    are cast to the value dtype for the PV matvec (the same compromise
+    the flash kernel makes).
+
+    q: (B, Hq, 1, D); k/v: (B, Hkv, C, D); kv_len: (B,) valid prefix.
+    Returns (B, Hq, 1, D) in q.dtype.
+    """
+    b, hq, sq, d = q.shape
+    _, hkv, c, _ = k.shape
+    assert sq == 1 and hq % hkv == 0, (q.shape, k.shape)
+    group = hq // hkv
+    if scale is None:
+        scale = 1.0 / float(np.sqrt(d))
+    qg = q.reshape(b, hkv, group, d)
+    logits = jnp.einsum(
+        "bhgd,bhcd->bhgc", qg, k, preferred_element_type=jnp.float32
+    ) * scale
+    mask = jnp.arange(c)[None, None, None, :] < kv_len[:, None, None, None]
+    logits = jnp.where(mask, logits, DEFAULT_MASK_VALUE)
+    probs = jax.nn.softmax(logits, axis=-1)
+    probs = jnp.where(mask.any(axis=-1, keepdims=True), probs, 0.0)
+    out = jnp.einsum(
+        "bhgc,bhcd->bhgd", probs.astype(v.dtype), v,
+        preferred_element_type=jnp.float32,
+    )
+    return out.reshape(b, hq, 1, d).astype(q.dtype)
+
+
 # ---------------------------------------------------------------------------
 # Pallas TPU kernel (forward).
 # ---------------------------------------------------------------------------

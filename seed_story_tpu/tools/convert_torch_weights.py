@@ -377,6 +377,12 @@ def main(argv=None):
     p.add_argument("--input", required=True, help=".pt/.bin torch checkpoint")
     p.add_argument("--output", required=True, help="orbax output dir")
     p.add_argument("--num_layers", type=int, default=None)
+    p.add_argument("--scan_layers", action="store_true",
+                   help="emit the stacked (L, ...) scan_layers training "
+                        "layout (llama/agent families)")
+    p.add_argument("--int8", action="store_true",
+                   help="weight-only int8 projection kernels "
+                        "(quantize_llama_params; llama/agent families)")
     a = p.parse_args(argv)
 
     sd = load_torch_state_dict(a.input)
@@ -390,6 +396,21 @@ def main(argv=None):
     }[a.family]
     params, missing, unexpected = conv()
     print(f"missing keys: {len(missing)}, unexpected keys: {len(unexpected)}")
+    if a.int8:
+        if a.family not in ("llama", "agent"):
+            p.error("--int8 applies to the llama/agent families")
+        import jax
+
+        from ..models.llama import quantize_llama_params
+
+        params = jax.tree_util.tree_map(np.asarray,
+                                        quantize_llama_params(params))
+    if a.scan_layers:
+        if a.family not in ("llama", "agent"):
+            p.error("--scan_layers applies to the llama/agent families")
+        from ..models.llama import stack_layer_params
+
+        params = stack_layer_params(params)
     save_params(a.output, params)
     print(f"saved to {a.output}")
 

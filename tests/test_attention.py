@@ -158,3 +158,24 @@ def test_bf16_dtypes():
     np.testing.assert_allclose(
         np.asarray(got, np.float32), np.asarray(want, np.float32), rtol=5e-2, atol=5e-2
     )
+
+
+def test_decode_attention_matches_reference():
+    """decode_attention (the s==1 hot path: no fp32 cache copy, GQA via
+    query-group folding) == mha_reference on the same masks."""
+    from seed_story_tpu.ops.attention import decode_attention, mha_reference
+
+    rng = np.random.RandomState(0)
+    for hq, hkv in ((8, 8), (8, 2)):
+        b, c, d = 3, 96, 64
+        q = jnp.asarray(rng.randn(b, hq, 1, d), jnp.float32)
+        k = jnp.asarray(rng.randn(b, hkv, c, d), jnp.float32)
+        v = jnp.asarray(rng.randn(b, hkv, c, d), jnp.float32)
+        kv_len = jnp.asarray([1, 17, 96], jnp.int32)
+        got = decode_attention(q, k, v, kv_len=kv_len)
+        want = mha_reference(
+            q, k, v, causal=True, q_start=kv_len - 1, kv_len=kv_len
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5
+        )

@@ -201,3 +201,56 @@ def test_gpt_judge_protocol_with_fake_client(tmp_path):
     ]
     res = compare(stories, stories, client=FakeClient("tie here [[C]]"))
     assert res == {"a_win": 0, "b_win": 1 - 1, "tie": 1, "error": 0}
+
+
+def test_convert_llama_int8_scan_layout_close_to_hf():
+    """The converter's --int8/--scan_layers post-passes: HF weights ->
+    quantize_llama_params + stack_layer_params load into a
+    quantize_base+scan_layers model and stay close to HF logits (int8
+    weight-only tolerance)."""
+    torch = pytest.importorskip("torch")
+    from transformers import LlamaConfig as HFConfig
+    from transformers import LlamaForCausalLM as HFLlama
+
+    from seed_story_tpu.models.llama import (
+        LlamaConfig,
+        LlamaForCausalLM,
+        quantize_llama_params,
+        stack_layer_params,
+    )
+    from seed_story_tpu.tools.convert_torch_weights import convert_llama
+
+    cfg = LlamaConfig.tiny(dtype=jnp.float32)
+    hf = HFLlama(HFConfig(
+        vocab_size=cfg.vocab_size, hidden_size=cfg.hidden_size,
+        intermediate_size=cfg.intermediate_size,
+        num_hidden_layers=cfg.num_hidden_layers,
+        num_attention_heads=cfg.num_attention_heads,
+        num_key_value_heads=cfg.kv_heads,
+        max_position_embeddings=cfg.max_position_embeddings,
+        rms_norm_eps=cfg.rms_norm_eps, rope_theta=cfg.rope_theta,
+        attn_implementation="eager", tie_word_embeddings=False,
+    ))
+    hf.eval()
+    sd = {k: v.numpy() for k, v in hf.state_dict().items()}
+    params, _, _ = convert_llama(
+        sd, num_layers=cfg.num_hidden_layers, vocab_padded=cfg.vocab_padded
+    )
+    params = stack_layer_params(quantize_llama_params(params))
+
+    qcfg = LlamaConfig.tiny(dtype=jnp.float32, quantize_base=True,
+                            scan_layers=True)
+    model = LlamaForCausalLM(qcfg)
+    ids = np.array([[1, 77, 31500, 9, 222, 31000]], np.int64)
+    with torch.no_grad():
+        want = hf(torch.from_numpy(ids)).logits.numpy()
+    got = model.apply({"params": params}, jnp.asarray(ids, jnp.int32))["logits"]
+    got = np.asarray(got, np.float32)[..., : cfg.vocab_size]
+    # int8 weight-only: compare distributions, not exact logits
+    kl = np.sum(
+        np.exp(want - want.max(-1, keepdims=True))
+        / np.exp(want - want.max(-1, keepdims=True)).sum(-1, keepdims=True)
+        * (jax.nn.log_softmax(jnp.asarray(want)) - jax.nn.log_softmax(jnp.asarray(got))),
+        axis=-1,
+    )
+    assert float(np.mean(kl)) < 5e-3, float(np.mean(kl))
