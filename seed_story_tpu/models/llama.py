@@ -50,10 +50,16 @@ def _maybe_sharded_mha(cfg, q, k, v, *, q_start, kv_len, implementation="auto"):
     axis = cfg.shard_attention_axis
     if axis is not None and s > 1:
         from jax.experimental.shard_map import shard_map
-        from jax.interpreters import pxla
         from jax.sharding import PartitionSpec as P
 
-        mesh = pxla.thread_resources.env.physical_mesh
+        try:  # context mesh without the deprecated pxla alias
+            from jax._src import mesh as _mesh_lib
+
+            mesh = _mesh_lib.thread_resources.env.physical_mesh
+        except Exception:  # pragma: no cover - older jax fallback
+            from jax.interpreters import pxla
+
+            mesh = pxla.thread_resources.env.physical_mesh
         if (
             not mesh.empty
             and axis in mesh.shape

@@ -39,13 +39,32 @@ def pmean(x: jax.Array, axis_name: Optional[str] = None) -> jax.Array:
     return jax.lax.pmean(x, axis_name)
 
 
-def initialize_multihost():
-    """jax.distributed.initialize when running multi-process (multi-host
-    TPU slices); no-op in single-process settings."""
+def initialize_multihost(coordinator_address=None, num_processes=None,
+                         process_id=None):
+    """jax.distributed.initialize for multi-process runs (multi-host TPU
+    slices, or multi-process CPU in tests). Arguments fall back to the
+    launcher contract env vars COORDINATOR_ADDRESS / NUM_PROCESSES /
+    PROCESS_ID; on TPU pods where JAX autodetects the cluster, leaving all
+    three unset and exporting only COORDINATOR_ADDRESS=auto also works.
+    No-op when single-process or already initialized (safe to call from
+    every entry point). Validated by tests/test_multiprocess.py."""
     import os
 
-    if os.environ.get("COORDINATOR_ADDRESS") or os.environ.get("JAX_COORDINATOR"):
-        jax.distributed.initialize()
+    addr = coordinator_address or os.environ.get("COORDINATOR_ADDRESS")
+    if addr:
+        if num_processes is None and os.environ.get("NUM_PROCESSES"):
+            num_processes = int(os.environ["NUM_PROCESSES"])
+        if process_id is None and os.environ.get("PROCESS_ID"):
+            process_id = int(os.environ["PROCESS_ID"])
+        try:
+            if addr == "auto":
+                jax.distributed.initialize()  # TPU-pod autodetection
+            else:
+                jax.distributed.initialize(
+                    addr, num_processes=num_processes, process_id=process_id
+                )
+        except RuntimeError:
+            pass  # already initialized
     return jax.process_index(), jax.process_count()
 
 
