@@ -109,7 +109,7 @@ def run_training(
         loader = ThreadedLoader(
             lambda it=batch_iterator: iter(it),
             prefetch=2,
-            device_put_fn=lambda b: jax.device_put(b, trainer.batch_sharding),
+            device_put_fn=trainer.shard_batch,  # multi-process aware
             state_fn=data_source.state if data_source is not None else None,
         )
 

@@ -169,6 +169,29 @@ class Trainer:
 
         return jax.tree_util.tree_map(pick, shapes)
 
+    def shard_batch(self, batch):
+        """Host batch -> globally-sharded device batch.
+
+        Single-process: a plain device_put onto batch_sharding. Multi-
+        process: each process holds ITS shard of the global batch (the
+        datapipes already host-shard, SURVEY §2.4) and the local arrays
+        are assembled into global jax.Arrays without data movement
+        (multihost_utils.host_local_array_to_global_array)."""
+        if jax.process_count() == 1:
+            return jax.device_put(batch, self.batch_sharding)
+        from jax.experimental import multihost_utils
+
+        spec = (
+            self.batch_sharding.spec
+            if isinstance(self.batch_sharding, NamedSharding)
+            else jax.tree_util.tree_map(
+                lambda s: s.spec, self.batch_sharding
+            )
+        )
+        return multihost_utils.host_local_array_to_global_array(
+            batch, self.mesh, spec
+        )
+
     # -- step ---------------------------------------------------------
 
     def _train_step(self, state: TrainState, batch, rng):

@@ -59,6 +59,55 @@ s = jax.jit(
 )(arr)
 val = float(np.asarray(s.addressable_shards[0].data))
 assert val == 28.0, val  # sum(range(8))
+
+# --- full FSDP train step across both processes -------------------------
+from seed_story_tpu.models.agent import AgentConfig, ContinuousLVLM
+from seed_story_tpu.train.stage2 import make_stage2_loss_fn
+from seed_story_tpu.train.trainer import TrainConfig, Trainer
+import flax.linen as nn
+
+acfg = AgentConfig.tiny()
+bs_local, seq, n_per = 4, 32, 2
+rng = np.random.RandomState(pid)
+nimg = bs_local * n_per
+ids_cmp = np.zeros((bs_local, seq), bool); ids_gen = np.zeros((bs_local, seq), bool)
+emb_cmp = np.zeros(nimg, bool); emb_gen = np.zeros(nimg, bool)
+for b in range(bs_local):
+    ids_cmp[b, 2:2+acfg.num_img_in_tokens] = True; emb_cmp[b*n_per] = True
+    ids_gen[b, 16:16+acfg.num_img_out_tokens] = True; emb_gen[b*n_per+1] = True
+local_batch = dict(
+    input_ids=rng.randint(100, 31000, (bs_local, seq)).astype(np.int32),
+    attention_mask=np.ones((bs_local, seq), np.int32),
+    labels=rng.randint(100, 31000, (bs_local, seq)).astype(np.int32),
+    image_embeds=rng.randn(nimg, acfg.num_vit_tokens, acfg.vit_dim).astype(np.float32),
+    embeds_cmp_mask=emb_cmp, embeds_gen_mask=emb_gen,
+    ids_cmp_mask=ids_cmp, ids_gen_mask=ids_gen,
+)
+agent = ContinuousLVLM(acfg)
+abstract = jax.eval_shape(
+    lambda: agent.init(jax.random.PRNGKey(0), **local_batch)
+)["params"]
+trainer = Trainer(
+    mesh, abstract, make_stage2_loss_fn(agent),
+    TrainConfig(learning_rate=1e-3, warmup_steps=1, training_steps=5,
+                sharding_preset="fsdp"),
+)
+with mesh:
+    params = jax.jit(
+        lambda: nn.meta.unbox(
+            agent.init(jax.random.PRNGKey(0), **local_batch)["params"]
+        ),
+        out_shardings=nn.meta.unbox(trainer.param_sharding),
+    )()
+    state = trainer.init_state(params)
+    batch = trainer.shard_batch(local_batch)  # local shard -> global arrays
+    state, metrics = trainer.step(state, batch, jax.random.PRNGKey(1))
+    loss = float(np.asarray(metrics["loss"].addressable_shards[0].data))
+assert np.isfinite(loss), loss
+# replicated loss must agree across processes
+losses = np.asarray(process_allgather(loss)).ravel()
+np.testing.assert_allclose(losses, losses[0], rtol=1e-6)
+print(f"proc {pid} train ok loss={loss:.4f}", flush=True)
 print(f"proc {pid} ok", flush=True)
 """
 
