@@ -44,7 +44,7 @@ import numpy as np
 A100_REFERENCE_SEGMENTS_PER_MIN = 2.75  # PERF.md estimate, see module docstring
 
 
-def build(preset: str, int8: bool = False):
+def build(preset: str, int8: bool = False, kv_int8: bool = False):
     import jax.numpy as jnp
 
     from seed_story_tpu.models.agent import AgentConfig
@@ -69,7 +69,7 @@ def build(preset: str, int8: bool = False):
     # random weights — no checkpoints in this environment), 500 new
     # tokens/segment like gen_george.py:189-195.
     llm = LlamaConfig(dtype=jnp.bfloat16, param_dtype=jnp.bfloat16,
-                      lora_rank=16, quantize_base=int8)
+                      lora_rank=16, quantize_base=int8, quantize_kv=kv_int8)
     return AgentConfig(llm=llm), 500
 
 
@@ -248,7 +248,10 @@ def main():
     int8 = (
         os.environ.get("SEED_STORY_BENCH_INT8", "1") == "1" and preset == "full"
     )
-    acfg, max_new = build(preset, int8)
+    kv_int8 = (
+        os.environ.get("SEED_STORY_BENCH_KVINT8", "1") == "1" and preset == "full"
+    )
+    acfg, max_new = build(preset, int8, kv_int8)
     # window-4 on the single chip: 13.5GB of 7B params + the window-8
     # 500-token KV footprint (~4.7k slots = 2.4GB) exceed 16GB HBM; window-4
     # (2.9k slots = 1.5GB) fits. The reference window-8 envelope is the
@@ -273,7 +276,8 @@ def main():
 
     detok = (f"SDXL-base 1024px {sdxl_steps}-step CFG" if use_sdxl
              else "detok stubbed")
-    scale = ("7B int8-weight decode" if int8 else "7B") if preset == "full" else preset
+    q = "int8-weight" + ("+kv" if kv_int8 else "") + " decode"
+    scale = (f"7B {q}" if int8 else "7B") if preset == "full" else preset
     result = {
         "metric": f"story segments/min (text+image; {scale} MLLM, "
                   f"{max_new} new tokens/segment, window-{window}; {detok}; "

@@ -6,6 +6,7 @@ decode at B=1 is HBM-bound on parameter bytes, so int8 targets ~2x.
 import sys; sys.path.insert(0, "/root/repo")
 import time
 INT8 = "--int8" in sys.argv
+KVINT8 = "--kvint8" in sys.argv
 CACHE = 512
 for a in sys.argv[1:]:
     if a.startswith("--cache="):
@@ -16,9 +17,9 @@ from seed_story_tpu.models.llama import LlamaConfig, LlamaForCausalLM, KVCache
 import flax.linen as nn
 # LLaMA-2-7B exact shape, bf16 params (13.4GB), 512-slot cache (1.1GB)
 cfg = LlamaConfig(dtype=jnp.bfloat16, param_dtype=jnp.bfloat16, lora_rank=16,
-                  quantize_base=INT8)
+                  quantize_base=INT8, quantize_kv=KVINT8)
 m = LlamaForCausalLM(cfg)
-print("int8 weight-only:", INT8, flush=True)
+print("int8 weight-only:", INT8, "int8 kv:", KVINT8, flush=True)
 ids = jnp.ones((1, 8), jnp.int32)
 t0=time.time()
 p = jax.jit(lambda: m.init(jax.random.PRNGKey(0), ids)["params"])()

@@ -254,9 +254,14 @@ class StoryGenerator:
                     kv_ok = llm_cfg.kv_heads % self.mesh.shape["model"] == 0
                     kv_spec = P(None, "model" if kv_ok else None, None, None)
                     kv = NamedSharding(self.mesh, kv_spec)
+                    sc = NamedSharding(
+                        self.mesh, P(None, "model" if kv_ok else None, None)
+                    )
                     n_layers = llm_cfg.num_hidden_layers
                     in_shardings = in_shardings + (KVCache(
-                        k=(kv,) * n_layers, v=(kv,) * n_layers, length=rep
+                        k=(kv,) * n_layers, v=(kv,) * n_layers, length=rep,
+                        k_scale=(sc,) * n_layers if llm_cfg.quantize_kv else None,
+                        v_scale=(sc,) * n_layers if llm_cfg.quantize_kv else None,
                     ),)
                 self._compiled[key] = jax.jit(
                     impl, in_shardings=in_shardings, donate_argnums=donate

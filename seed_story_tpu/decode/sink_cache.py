@@ -38,7 +38,14 @@ def _compact(cache: KVCache, indices: jax.Array, new_len: jax.Array) -> KVCache:
     static length == capacity (tail entries are don't-care)."""
     k = tuple(jnp.take(layer, indices, axis=2) for layer in cache.k)
     v = tuple(jnp.take(layer, indices, axis=2) for layer in cache.v)
-    return KVCache(k=k, v=v, length=jnp.broadcast_to(new_len, cache.length.shape))
+    ks = vs = None
+    if cache.quantized:  # int8 mode: scales ride along the token axis
+        ks = tuple(jnp.take(layer, indices, axis=2) for layer in cache.k_scale)
+        vs = tuple(jnp.take(layer, indices, axis=2) for layer in cache.v_scale)
+    return KVCache(
+        k=k, v=v, length=jnp.broadcast_to(new_len, cache.length.shape),
+        k_scale=ks, v_scale=vs,
+    )
 
 
 @dataclasses.dataclass

@@ -108,6 +108,8 @@ def decode_attention(
     *,
     kv_len: jax.Array,
     scale: Optional[float] = None,
+    k_scale: Optional[jax.Array] = None,  # (B, Hkv, C) int8-KV dequant scales
+    v_scale: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Single-query attention tuned for the decode hot path.
 
@@ -130,15 +132,26 @@ def decode_attention(
     if scale is None:
         scale = 1.0 / float(np.sqrt(d))
     qg = q.reshape(b, hkv, group, d)
+    # int8-KV mode: the dot reads the int8 bytes (convert fuses into the
+    # matmul operand load) and the per-token dequant scales fold into the
+    # (C,)-sized score/probability vectors AFTER the contraction — the
+    # bf16 cache copy never exists.
+    kd = k if k.dtype == qg.dtype else k.astype(qg.dtype)
     logits = jnp.einsum(
-        "bhgd,bhcd->bhgc", qg, k, preferred_element_type=jnp.float32
+        "bhgd,bhcd->bhgc", qg, kd, preferred_element_type=jnp.float32
     ) * scale
+    if k_scale is not None:
+        logits = logits * k_scale[:, :, None, :].astype(jnp.float32)
     mask = jnp.arange(c)[None, None, None, :] < kv_len[:, None, None, None]
     logits = jnp.where(mask, logits, DEFAULT_MASK_VALUE)
     probs = jax.nn.softmax(logits, axis=-1)
     probs = jnp.where(mask.any(axis=-1, keepdims=True), probs, 0.0)
+    if v_scale is not None:
+        probs = probs * v_scale[:, :, None, :].astype(jnp.float32)
+    pv_dtype = q.dtype
+    vd = v if v.dtype == pv_dtype else v.astype(pv_dtype)
     out = jnp.einsum(
-        "bhgc,bhcd->bhgd", probs.astype(v.dtype), v,
+        "bhgc,bhcd->bhgd", probs.astype(pv_dtype), vd,
         preferred_element_type=jnp.float32,
     )
     return out.reshape(b, hq, 1, d).astype(q.dtype)

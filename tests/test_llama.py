@@ -287,3 +287,50 @@ def test_quantize_base_int8():
     out = mq.apply({"params": pq}, ids, cache=cache)
     assert out["logits"].shape == (2, 12, mq.cfg.vocab_padded)
     assert np.isfinite(np.asarray(out["logits"][..., :V])).all()
+
+
+def test_quantize_kv_cache_decode():
+    """int8 KV cache (quantize_kv): prefill+decode stays distributionally
+    equal to the full no-cache forward, and the sink-cache compaction
+    carries the scales."""
+    cfg = LlamaConfig.tiny(dtype=jnp.float32, quantize_kv=True)
+    m = LlamaForCausalLM(cfg)
+    ids = jnp.asarray(
+        np.random.RandomState(0).randint(5, 30000, (2, 12)), jnp.int32
+    )
+    p = flax.linen.meta.unbox(m.init(jax.random.PRNGKey(0), ids)["params"])
+    full = m.apply({"params": p}, ids)["logits"][..., : cfg.vocab_size]
+
+    cache = KVCache.create(cfg, 2, 32, dtype=jnp.float32)
+    assert cache.quantized and cache.k[0].dtype == jnp.int8
+    assert cache.k_scale[0].shape == (2, cfg.kv_heads, 32)
+    out = m.apply({"params": p}, ids[:, :8], cache=cache)
+    cache = out["cache"]
+    chunks = [out["logits"][:, -1:, :]]
+    for t in range(8, 12):
+        out = m.apply({"params": p}, ids[:, t : t + 1], cache=cache)
+        cache = out["cache"]
+        chunks.append(out["logits"])
+    dec = jnp.concatenate(chunks, axis=1)[..., : cfg.vocab_size]
+    ref = full[:, 7:12]
+    kl = jnp.sum(
+        jax.nn.softmax(ref) * (jax.nn.log_softmax(ref) - jax.nn.log_softmax(dec)),
+        axis=-1,
+    )
+    assert float(kl.mean()) < 1e-3, float(kl.mean())
+    np.testing.assert_array_equal(
+        np.asarray(ref.argmax(-1)), np.asarray(dec.argmax(-1))
+    )
+
+    # sink compaction keeps scales aligned with tokens: drop slots 2..5
+    from seed_story_tpu.decode.sink_cache import _compact
+
+    keep = jnp.asarray([0, 1] + list(range(6, 32)) + [0] * 4, jnp.int32)
+    small = _compact(cache, keep, cache.length - 4)
+    assert small.quantized
+    np.testing.assert_array_equal(
+        np.asarray(small.k[0][:, :, 2]), np.asarray(cache.k[0][:, :, 6])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(small.k_scale[0][:, :, 2]), np.asarray(cache.k_scale[0][:, :, 6])
+    )
