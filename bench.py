@@ -232,7 +232,11 @@ def run_sdxl_phase(acfg, feats, sdxl_steps):
 def main():
     t_setup = time.time()
     preset = os.environ.get("SEED_STORY_BENCH_PRESET", "full")
-    n_segments = int(os.environ.get("SEED_STORY_BENCH_SEGMENTS", "4"))
+    # 8 segments: the story walks the context window up to its full
+    # window-8 width (reference stories run 25 segments at steady state;
+    # segments here average slightly cheaper than steady state since the
+    # first few carry short prompts).
+    n_segments = int(os.environ.get("SEED_STORY_BENCH_SEGMENTS", "8"))
 
     import jax
 
@@ -252,11 +256,11 @@ def main():
         os.environ.get("SEED_STORY_BENCH_KVINT8", "1") == "1" and preset == "full"
     )
     acfg, max_new = build(preset, int8, kv_int8)
-    # window-4 on the single chip: 13.5GB of 7B params + the window-8
-    # 500-token KV footprint (~4.7k slots = 2.4GB) exceed 16GB HBM; window-4
-    # (2.9k slots = 1.5GB) fits. The reference window-8 envelope is the
-    # multi-chip (TP) configuration.
-    window = 4
+    # int8 params (6.7GB) + int8 KV (window-8 5248-slot cache = 1.5GB)
+    # fit the reference's TRUE window-8 envelope (gen_george.py:205-206)
+    # on the one 16GB chip. bf16 params (13.5GB) only leave room for
+    # window-4 — that mode keeps the old single-chip envelope.
+    window = 8 if (int8 and kv_int8 and preset == "full") else 4
 
     mllm_s, feats = run_mllm_phase(preset, acfg, max_new, n_segments, window)
     setup_s = time.time() - t_setup

@@ -240,3 +240,86 @@ class ContinuousLVLM(nn.Module):
         """(N, num_img_out_tokens, D) hidden states -> (N, 256, D) image
         features for the de-tokenizer."""
         return self.output_resampler(hidden_blocks)
+
+
+class SEEDLLaMAAlignGeneration(nn.Module):
+    """Align-only agent variant (reference models.py:233-336): a FROZEN
+    LLM with just the output resampler trained on the cosine
+    reconstruction loss (no CE, no input resampler — captions enter as
+    plain text). The reference freezes via ``requires_grad_(False)``;
+    here the hidden states are ``stop_gradient``-ed, so the LLM
+    contributes no parameter gradients while the resampler still learns
+    from them (mask the optimizer with :func:`align_trainable_mask` to
+    also drop the dead LLM slots from the update)."""
+
+    cfg: AgentConfig
+
+    def setup(self):
+        cfg = self.cfg
+        self.llm = LlamaForCausalLM(cfg.llm)
+        d = cfg.llm.hidden_size
+        self.output_resampler = Resampler(
+            grid_size=cfg.output_resampler_grid, embed_dim=cfg.vit_dim,
+            num_heads=cfg.resampler_heads,
+            kv_dim=d if d != cfg.vit_dim else None,
+            dtype=cfg.llm.dtype, param_dtype=cfg.llm.param_dtype,
+        )
+
+    def __call__(
+        self,
+        input_ids: jax.Array,  # (B, S)
+        attention_mask: jax.Array,  # (B, S)
+        labels: jax.Array,  # (B, S) — unused (parity with the reference signature)
+        image_embeds: jax.Array,  # (N, n_vit_tokens, vit_dim)
+        embeds_gen_mask: jax.Array,  # (N,)
+        embeds_cmp_mask: jax.Array,  # (N,) — unused (no input resampler)
+        ids_gen_mask: jax.Array,  # (B, S)
+        ids_cmp_mask: jax.Array,  # (B, S) — unused
+        deterministic: bool = True,
+    ):
+        del labels, embeds_cmp_mask, ids_cmp_mask
+        cfg = self.cfg
+        hidden = self.llm.hidden_states(
+            inputs_embeds=self.llm.embed(input_ids),
+            attention_mask=attention_mask,
+            deterministic=deterministic,
+        )
+        hidden = jax.lax.stop_gradient(hidden)  # llm.requires_grad_(False)
+        gen_blocks = gather_image_hidden(
+            hidden, ids_gen_mask, embeds_gen_mask, cfg.num_img_out_tokens
+        )
+        recon = self.output_resampler(gen_blocks)
+        rec_loss = cosine_loss(recon, image_embeds, valid=embeds_gen_mask)
+        return {"total_loss": rec_loss, "rec_loss": rec_loss,
+                "recon_image_embeds": recon}
+
+    # generation-time pieces: identical surface to ContinuousLVLM minus the
+    # input-image path, so decode/generate.StoryGenerator drives this model
+    # too (text-seeded stories; reference align .generate feeds hidden
+    # states 0..eoi through the output resampler the same way).
+    def embed_tokens(self, input_ids):
+        return self.llm.embed(input_ids)
+
+    def embed_with_images(self, input_ids, image_embeds, ids_cmp_mask,
+                          embeds_cmp_mask):
+        del image_embeds, ids_cmp_mask, embeds_cmp_mask
+        return self.llm.embed(input_ids)
+
+    def llm_step(self, inputs_embeds, cache, attention_mask=None,
+                 seq_lengths=None, logits_indices=None):
+        return self.llm(inputs_embeds=inputs_embeds, cache=cache,
+                        attention_mask=attention_mask, seq_lengths=seq_lengths,
+                        logits_indices=logits_indices)
+
+    def resample_output(self, hidden_blocks):
+        return self.output_resampler(hidden_blocks)
+
+
+def align_trainable_mask(params) -> Any:
+    """optax mask: True only on output_resampler params (the reference
+    trains exactly that set — everything else is frozen)."""
+    import flax
+
+    flat = flax.traverse_util.flatten_dict(params)
+    mask = {k: (k[0] == "output_resampler") for k in flat}
+    return flax.traverse_util.unflatten_dict(mask)

@@ -186,3 +186,54 @@ def test_agent_forward_and_grads(tiny_agent_batch):
     grads = jax.grad(loss_fn)(params)
     gnorm = jnp.sqrt(sum(jnp.sum(jnp.square(g)) for g in jax.tree_util.tree_leaves(grads)))
     assert np.isfinite(float(gnorm)) and float(gnorm) > 0
+
+
+def test_align_generation_agent(tiny_agent_batch):
+    """SEEDLLaMAAlignGeneration (reference models.py:233-336): rec-loss
+    only, gradients reach ONLY the output resampler (frozen LLM)."""
+    from seed_story_tpu.models.agent import (
+        SEEDLLaMAAlignGeneration,
+        align_trainable_mask,
+    )
+
+    batch = tiny_agent_batch
+    acfg = AgentConfig.tiny()
+    model = SEEDLLaMAAlignGeneration(acfg)
+    n = batch["embeds_cmp_mask"].shape[0]
+    image_embeds = jax.random.normal(
+        jax.random.PRNGKey(0), (n, acfg.num_img_out_tokens, acfg.vit_dim)
+    )
+    args = dict(
+        input_ids=jnp.asarray(batch["input_ids"]),
+        attention_mask=jnp.asarray(batch["attention_mask"]),
+        labels=jnp.asarray(batch["labels"]),
+        image_embeds=image_embeds,
+        embeds_gen_mask=jnp.asarray(batch["embeds_gen_mask"]),
+        embeds_cmp_mask=jnp.asarray(batch["embeds_cmp_mask"]),
+        ids_gen_mask=jnp.asarray(batch["ids_gen_mask"]),
+        ids_cmp_mask=jnp.asarray(batch["ids_cmp_mask"]),
+    )
+    params = model.init(jax.random.PRNGKey(1), **args)["params"]
+    out = model.apply({"params": params}, **args)
+    assert float(out["total_loss"]) == float(out["rec_loss"])
+    assert np.isfinite(float(out["rec_loss"]))
+
+    grads = jax.grad(
+        lambda p: model.apply({"params": p}, **args)["total_loss"]
+    )(params)
+    llm_norm = jnp.sqrt(sum(
+        jnp.sum(jnp.square(g))
+        for g in jax.tree_util.tree_leaves(grads["llm"])
+    ))
+    res_norm = jnp.sqrt(sum(
+        jnp.sum(jnp.square(g))
+        for g in jax.tree_util.tree_leaves(grads["output_resampler"])
+    ))
+    assert float(llm_norm) == 0.0  # stop_gradient == requires_grad_(False)
+    assert float(res_norm) > 0
+
+    mask = align_trainable_mask(params)
+    import flax
+
+    flat = flax.traverse_util.flatten_dict(mask)
+    assert all(v == (k[0] == "output_resampler") for k, v in flat.items())
