@@ -24,7 +24,7 @@ from seed_story_tpu.models.sdxl.unet import (
 
 cfg = SDXLUNetConfig()
 B = 2  # CFG pair
-N = 20  # dependent chain length
+N = 200  # dependent chain length
 
 
 def timeit(name, module, args, flops_per_eval):
@@ -41,12 +41,11 @@ def timeit(name, module, args, flops_per_eval):
 
     f = jax.jit(chain)
     x, rest = args[0], tuple(args[1:])
-    r = f(p, x, rest); jax.block_until_ready(r)
+    _ = float(jnp.sum(f(p, x, rest)))  # compile + host read
     best = 1e9
-    for _ in range(3):
+    for _i in range(3):
         t0 = time.perf_counter()
-        r = f(p, x, rest)
-        jax.block_until_ready(r)
+        _ = float(jnp.sum(f(p, x, rest)))  # host read = real device time
         best = min(best, time.perf_counter() - t0)
     per = best / N
     print(f"{name:42s} {per*1e3:7.2f} ms/eval  {flops_per_eval/per/1e12:6.1f} TF/s",
@@ -104,10 +103,10 @@ def gn_chain(p, x):
     return jax.lax.fori_loop(0, N, body, x)
 
 f = jax.jit(gn_chain)
-r = f(pgn, x); jax.block_until_ready(r)
+_ = float(jnp.sum(f(pgn, x)))
 best = 1e9
-for _ in range(3):
-    t0 = time.perf_counter(); r = f(pgn, x); jax.block_until_ready(r)
+for _i in range(3):
+    t0 = time.perf_counter(); _ = float(jnp.sum(f(pgn, x)))
     best = min(best, time.perf_counter() - t0)
 bytes_min = 2 * x.size * 2  # bf16 read + write (fp32 cast should stay fused)
 print(f"{'GroupNorm(+silu) 128x128x320 fp32-math':42s} {best/N*1e3:7.2f} ms/eval "

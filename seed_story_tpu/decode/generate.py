@@ -104,15 +104,19 @@ class StoryGenerator:
     def _generate_impl(
         self,
         params,
-        input_ids,  # (1, P) bucket-padded
-        prompt_len,  # (1,) true length
-        image_embeds,  # (N, vit_tokens, vit_dim)
-        embeds_cmp_mask,  # (N,)
-        ids_cmp_mask,  # (1, P)
+        input_ids,  # (B, P) bucket-padded — B independent stories in lockstep
+        prompt_len,  # (B,) true lengths
+        image_embeds,  # (B*max_img, vit_tokens, vit_dim) flattened image axis
+        embeds_cmp_mask,  # (B*max_img,)
+        ids_cmp_mask,  # (B, P)
         cache: KVCache,
     ):
+        """Decode is HBM-bound on parameter bytes at B=1, so B stories share
+        one parameter stream per token: measured near-linear story throughput
+        in B (the reference's gen_george loops val stories one at a time)."""
         cfg = self.cfg
         agent = self.agent
+        b = input_ids.shape[0]
 
         def apply(method, *a, **kw):
             return agent.apply({"params": params}, *a, method=method, **kw)
@@ -124,21 +128,21 @@ class StoryGenerator:
         )
         # logits only at the last true prompt position (saves the (S, V)
         # lm_head activation — the margin that fits 7B prefill on one chip)
-        last_idx = prompt_len - 1  # (1,)
+        last_idx = prompt_len - 1  # (B,)
         out = apply(agent.llm_step, embeds, cache, seq_lengths=prompt_len,
                     logits_indices=last_idx)
         cache = out["cache"]
-        last_logits = out["logits"][:, 0]  # (1, V)
+        last_logits = out["logits"][:, 0]  # (B, V)
 
         d = out["hidden_states"].shape[-1]
         max_new = cfg.max_new_tokens
 
-        tokens_buf = jnp.zeros((max_new,), jnp.int32)
-        hidden_buf = jnp.zeros((max_new, d), out["hidden_states"].dtype)
+        tokens_buf = jnp.zeros((b, max_new), jnp.int32)
+        hidden_buf = jnp.zeros((b, max_new, d), out["hidden_states"].dtype)
 
         from ..data.tokenizer import BOI_TOKEN_ID
 
-        def pick(prev_token, logits, step):
+        def pick(prev_token, logits, step):  # (B,), (B, V) -> (B,)
             logits = self.automaton(prev_token, logits.astype(jnp.float32))
             tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # greedy
             if cfg.force_boi_at is not None:
@@ -148,46 +152,57 @@ class StoryGenerator:
                 tok = jnp.where(force, BOI_TOKEN_ID, tok)
             return tok
 
-        prev_token = input_ids[0, :][last_idx[0]]  # last true prompt token
-        first_token = pick(prev_token[None], last_logits, 0)[0]
-        tokens_buf = tokens_buf.at[0].set(first_token)
+        prev_token = jnp.take_along_axis(
+            input_ids, last_idx[:, None], axis=1
+        )[:, 0]  # (B,) last true prompt token per row
+        first_token = pick(prev_token, last_logits, 0)
+        tokens_buf = tokens_buf.at[:, 0].set(first_token)
 
         def cond(state):
             i, done, *_ = state
-            return jnp.logical_and(i < max_new, jnp.logical_not(done))
+            return jnp.logical_and(i < max_new, jnp.logical_not(done.all()))
 
         def body(state):
-            i, done, cache, tokens_buf, hidden_buf = state
-            tok = tokens_buf[i - 1]
-            emb = apply(agent.embed_tokens, tok[None, None])  # (1,1,D)
+            i, done, num_gen, cache, tokens_buf, hidden_buf = state
+            tok = tokens_buf[:, i - 1]  # (B,)
+            emb = apply(agent.embed_tokens, tok[:, None])  # (B,1,D)
             out = apply(agent.llm_step, emb, cache)
             cache = out["cache"]
-            hidden_buf = hidden_buf.at[i - 1].set(out["hidden_states"][0, 0])
-            nxt = pick(tok[None], out["logits"][:, 0], i)[0]
-            done = tok == cfg.eos_token_id
-            tokens_buf = jax.lax.cond(
-                done, lambda tb: tb, lambda tb: tb.at[i].set(nxt), tokens_buf
+            hidden_buf = hidden_buf.at[:, i - 1].set(out["hidden_states"][:, 0])
+            nxt = pick(tok, out["logits"][:, 0], i)
+            newly_done = tok == cfg.eos_token_id
+            # per-row count, matching the B=1 semantics exactly: a row that
+            # consumed eos this step froze at i; an active row advances to i+1
+            num_gen = jnp.where(done, num_gen,
+                                jnp.where(newly_done, i, i + 1))
+            done = jnp.logical_or(done, newly_done)
+            tokens_buf = tokens_buf.at[:, i].set(
+                jnp.where(done, tokens_buf[:, i], nxt)
             )
-            return i + 1, done, cache, tokens_buf, hidden_buf
+            return i + 1, done, num_gen, cache, tokens_buf, hidden_buf
 
-        i, done, cache, tokens_buf, hidden_buf = jax.lax.while_loop(
-            cond, body, (jnp.int32(1), jnp.bool_(False), cache, tokens_buf, hidden_buf)
+        state0 = (jnp.int32(1), jnp.zeros((b,), bool), jnp.full((b,), 1, jnp.int32),
+                  cache, tokens_buf, hidden_buf)
+        i, done, num_generated, cache, tokens_buf, hidden_buf = jax.lax.while_loop(
+            cond, body, state0
         )
-        num_generated = jnp.where(done, i - 1, i)
 
-        # ---- image feature extraction (last </img>) ------------------
+        # ---- image feature extraction (last </img> per row) ----------
         is_eoi = (tokens_buf == cfg.eoi_token_id) & (
-            jnp.arange(max_new) < num_generated
+            jnp.arange(max_new)[None, :] < num_generated[:, None]
         )
-        has_img = is_eoi.any()
+        has_img = is_eoi.any(axis=1)  # (B,)
         last_eoi = jnp.where(
-            has_img, max_new - 1 - jnp.argmax(is_eoi[::-1]), cfg.num_img_gen_tokens
+            has_img, max_new - 1 - jnp.argmax(is_eoi[:, ::-1], axis=1),
+            cfg.num_img_gen_tokens,
         )
-        start = jnp.clip(last_eoi - cfg.num_img_gen_tokens, 0)
-        block = jax.lax.dynamic_slice(
-            hidden_buf, (start, 0), (cfg.num_img_gen_tokens, d)
-        )  # hidden states at the 64 img-token positions
-        img_feat = apply(agent.resample_output, block[None])  # (1, 256, vit_dim)
+        start = jnp.clip(last_eoi - cfg.num_img_gen_tokens, 0)  # (B,)
+        block = jax.vmap(
+            lambda hb, st: jax.lax.dynamic_slice(
+                hb, (st, 0), (cfg.num_img_gen_tokens, d)
+            )
+        )(hidden_buf, start)  # (B, num_img_gen_tokens, D)
+        img_feat = apply(agent.resample_output, block)  # (B, 256, vit_dim)
 
         out = {
             "tokens": tokens_buf,
@@ -228,7 +243,8 @@ class StoryGenerator:
             need = bucket + self.cfg.max_new_tokens
             capacity = min(self.cfg.cache_capacity, ((need + 127) // 128) * 128)
             cache = KVCache.create(
-                llm_cfg, batch=1, capacity=capacity, dtype=llm_cfg.dtype,
+                llm_cfg, batch=input_ids.shape[0], capacity=capacity,
+                dtype=llm_cfg.dtype,
             )
             return self._generate_impl(
                 params, input_ids, prompt_len, image_embeds,
@@ -237,8 +253,8 @@ class StoryGenerator:
 
         return impl_fresh_cache
 
-    def _get_compiled(self, bucket: int, n_images: int):
-        key = (bucket, n_images)
+    def _get_compiled(self, bucket: int, n_images: int, batch: int = 1):
+        key = (batch, bucket, n_images)
         if key not in self._compiled:
             impl = self._impl_entry()
             takes_cache = self.cfg.return_cache
@@ -270,6 +286,25 @@ class StoryGenerator:
                 self._compiled[key] = jax.jit(impl, donate_argnums=donate)
         return self._compiled[key]
 
+    def _pad_images(self, image_embeds, embeds_cmp_mask):
+        """Pad ONE story's image axis to the static per-story bound."""
+        cfg = self.cfg
+        image_embeds = jnp.asarray(image_embeds)
+        embeds_cmp_mask = np.asarray(embeds_cmp_mask, bool)
+        n_img = image_embeds.shape[0]
+        max_img = max(cfg.max_context_images, n_img)
+        if n_img < max_img:
+            image_embeds = jnp.concatenate(
+                [image_embeds,
+                 jnp.zeros((max_img - n_img,) + image_embeds.shape[1:],
+                           image_embeds.dtype)],
+                axis=0,
+            )
+            embeds_cmp_mask = np.concatenate(
+                [embeds_cmp_mask, np.zeros(max_img - n_img, bool)]
+            )
+        return image_embeds, embeds_cmp_mask
+
     def generate(
         self,
         input_ids: np.ndarray,  # (P,) or (1, P) true prompt
@@ -293,20 +328,9 @@ class StoryGenerator:
         # story. Stays in jnp: the features are usually already device-side
         # (the pipeline feeds back the model's own output features), and an
         # np round-trip would drag ~33MB through the host per segment.
-        image_embeds = jnp.asarray(image_embeds)
-        embeds_cmp_mask = np.asarray(embeds_cmp_mask, bool)
-        n_img = image_embeds.shape[0]
-        max_img = max(cfg.max_context_images, n_img)
-        if n_img < max_img:
-            image_embeds = jnp.concatenate(
-                [image_embeds,
-                 jnp.zeros((max_img - n_img,) + image_embeds.shape[1:],
-                           image_embeds.dtype)],
-                axis=0,
-            )
-            embeds_cmp_mask = np.concatenate(
-                [embeds_cmp_mask, np.zeros(max_img - n_img, bool)]
-            )
+        image_embeds, embeds_cmp_mask = self._pad_images(
+            image_embeds, embeds_cmp_mask
+        )
         fn = self._get_compiled(bucket, int(image_embeds.shape[0]))
         args = [
             self.params,
@@ -327,12 +351,77 @@ class StoryGenerator:
         else:
             assert cache is None, "return_cache=False cannot thread a cache"
         out = fn(*args)
-        n = int(out["num_generated"])
-        tokens = np.asarray(out["tokens"])[:n]
+        n = int(out["num_generated"][0])
+        tokens = np.asarray(out["tokens"][0])[:n]
+        has_img = bool(out["has_img_output"][0])
         return {
             "generate_ids": tokens,
-            "has_img_output": bool(out["has_img_output"]),
-            "img_gen_feat": out["img_gen_feat"] if bool(out["has_img_output"]) else None,
+            "has_img_output": has_img,
+            "img_gen_feat": out["img_gen_feat"] if has_img else None,
             "cache": out.get("cache"),
             "num_generated": n,
         }
+
+    def generate_batch(self, stories):
+        """Run B independent stories in lockstep through ONE on-device
+        program — B=1 decode is HBM-bound on parameter bytes, so the B
+        stories ride the same per-token parameter stream (the serving-path
+        batching the torch reference lacks: gen_george.py loops val stories
+        one at a time).
+
+        ``stories``: list of dicts with keys ``input_ids`` (P_i,),
+        ``image_embeds`` (N_i, vit_tokens, vit_dim), ``embeds_cmp_mask``
+        (N_i,), ``ids_cmp_mask`` (P_i,). Prompts pad to the max bucket;
+        per-story image axes pad to ``max_context_images`` each.
+
+        Returns a list of B per-story result dicts (no cache threading —
+        batched mode targets the gen_george flow, which re-prefills)."""
+        cfg = self.cfg
+        assert not cfg.return_cache, (
+            "generate_batch targets the re-prefill story flow; construct the "
+            "generator with return_cache=False"
+        )
+        b = len(stories)
+        lens = [np.atleast_2d(np.asarray(s["input_ids"], np.int32)).shape[1]
+                for s in stories]
+        p_max = max(lens)
+        bucket = ((p_max + cfg.prompt_bucket - 1) // cfg.prompt_bucket
+                  ) * cfg.prompt_bucket
+        ids = np.zeros((b, bucket), np.int32)
+        cmp_mask = np.zeros((b, bucket), bool)
+        embeds, emasks = [], []
+        for r, s in enumerate(stories):
+            row = np.atleast_2d(np.asarray(s["input_ids"], np.int32))
+            ids[r, : lens[r]] = row[0]
+            cmp_mask[r, : lens[r]] = np.asarray(s["ids_cmp_mask"], bool)[: lens[r]]
+            e, m = self._pad_images(s["image_embeds"], s["embeds_cmp_mask"])
+            embeds.append(e)
+            emasks.append(m)
+        assert all(e.shape[0] == embeds[0].shape[0] for e in embeds), (
+            "stories must share one static image bound (raise "
+            "max_context_images to cover the largest story)"
+        )
+        image_embeds = jnp.concatenate(embeds, axis=0)  # (B*max_img, ...)
+        embeds_cmp_mask = np.concatenate(emasks)
+        fn = self._get_compiled(bucket, int(embeds[0].shape[0]), batch=b)
+        out = fn(
+            self.params,
+            jnp.asarray(ids),
+            jnp.asarray(lens, jnp.int32),
+            image_embeds,
+            jnp.asarray(embeds_cmp_mask),
+            jnp.asarray(cmp_mask),
+        )
+        results = []
+        nums = np.asarray(out["num_generated"])
+        tokens = np.asarray(out["tokens"])
+        has = np.asarray(out["has_img_output"])
+        for r in range(b):
+            results.append({
+                "generate_ids": tokens[r, : int(nums[r])],
+                "has_img_output": bool(has[r]),
+                "img_gen_feat": out["img_gen_feat"][r : r + 1]
+                if bool(has[r]) else None,
+                "num_generated": int(nums[r]),
+            })
+        return results

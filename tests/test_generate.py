@@ -114,3 +114,39 @@ def test_generate_deterministic_and_bucket_invariant():
         np.asarray(o3["img_gen_feat"], np.float32),
         rtol=2e-2, atol=2e-2,
     )
+
+
+def test_generate_batch_matches_individual():
+    """generate_batch (B stories in lockstep) must reproduce each story's
+    individual greedy output exactly — different prompt lengths per row."""
+    gen, prompt, ids_cmp, image_embeds, embeds_cmp = _mk_generator()
+    gen.cfg.return_cache = False
+    gen._compiled.clear()
+
+    # story 2: shorter prompt, no trailing <img>, different image features
+    prompt2 = prompt[:4] + prompt[4 : 4 + 4] + [EOI_TOKEN_ID, 700, 701]
+    ids_cmp2 = np.zeros(len(prompt2), bool)
+    ids_cmp2[4:8] = True
+    image_embeds2 = jax.random.normal(
+        jax.random.PRNGKey(7), image_embeds.shape
+    )
+
+    ref1 = gen.generate(np.array(prompt), image_embeds, embeds_cmp, ids_cmp)
+    ref2 = gen.generate(np.array(prompt2), image_embeds2, embeds_cmp, ids_cmp2)
+
+    outs = gen.generate_batch([
+        dict(input_ids=np.array(prompt), image_embeds=image_embeds,
+             embeds_cmp_mask=embeds_cmp, ids_cmp_mask=ids_cmp),
+        dict(input_ids=np.array(prompt2), image_embeds=image_embeds2,
+             embeds_cmp_mask=embeds_cmp, ids_cmp_mask=ids_cmp2),
+    ])
+    for ref, got in zip((ref1, ref2), outs):
+        assert got["num_generated"] == ref["num_generated"]
+        np.testing.assert_array_equal(got["generate_ids"], ref["generate_ids"])
+        assert got["has_img_output"] == ref["has_img_output"]
+        if ref["has_img_output"]:
+            np.testing.assert_allclose(
+                np.asarray(got["img_gen_feat"], np.float32),
+                np.asarray(ref["img_gen_feat"], np.float32),
+                rtol=2e-2, atol=2e-2,
+            )

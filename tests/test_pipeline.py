@@ -80,6 +80,71 @@ def test_story_pipeline_end_to_end():
             assert s.image_features.shape == (1, acfg.num_vit_tokens, acfg.vit_dim)
 
 
+def test_story_pipeline_run_batch_matches_sequential():
+    """run_batch (lockstep stories) must produce the same texts/features as
+    running each story through run() by itself."""
+    acfg = AgentConfig.tiny()
+    agent = ContinuousLVLM(acfg)
+    tok = TinyTokenizer()
+
+    seq = 64
+    init_args = dict(
+        input_ids=jnp.ones((1, seq), jnp.int32),
+        attention_mask=jnp.ones((1, seq), jnp.int32),
+        labels=jnp.zeros((1, seq), jnp.int32),
+        image_embeds=jnp.zeros((1, acfg.num_vit_tokens, acfg.vit_dim)),
+        embeds_gen_mask=jnp.ones((1,), bool),
+        embeds_cmp_mask=jnp.ones((1,), bool),
+        ids_gen_mask=jnp.zeros((1, seq), bool).at[0, 10:19].set(True),
+        ids_cmp_mask=jnp.zeros((1, seq), bool).at[0, 30:34].set(True),
+    )
+    params = agent.init(jax.random.PRNGKey(7), **init_args)["params"]
+
+    gcfg = GenerateConfig(
+        max_new_tokens=24,
+        num_img_gen_tokens=acfg.num_img_out_tokens,
+        cache_capacity=512,
+        prompt_bucket=32,
+        force_boi_at=8,  # untrained weights: force an image every segment
+        max_context_images=3,
+        return_cache=False,
+    )
+
+    def visual_encode(pixels):
+        x = np.asarray(pixels).mean()
+        rng = np.random.RandomState(int(abs(x) * 100) % 1000)
+        return rng.randn(1, acfg.num_vit_tokens, acfg.vit_dim).astype(np.float32)
+
+    def mk_pipe():
+        return StoryGenerationPipeline(
+            tok, StoryGenerator(agent, params, gcfg), visual_encode, None,
+            StoryPipelineConfig(
+                story_len=4, window_size=3,
+                num_img_in_tokens=acfg.num_img_in_tokens,
+            ),
+        )
+
+    seeds = [
+        (np.zeros((1, 3, 8, 8), np.float32), "a brave squirrel found a map"),
+        (np.full((1, 3, 8, 8), 0.5, np.float32), "george rode the blue train"),
+    ]
+    refs = [list(mk_pipe().run(px, cap)) for px, cap in seeds]
+    rounds = list(mk_pipe().run_batch(seeds))
+
+    got = [[r[i] for r in rounds if r[i] is not None] for i in range(len(seeds))]
+    for story_ref, story_got in zip(refs, got):
+        assert len(story_got) == len(story_ref)
+        for a, b in zip(story_ref, story_got):
+            assert a.text == b.text
+            assert (a.image_features is None) == (b.image_features is None)
+            if a.image_features is not None:
+                np.testing.assert_allclose(
+                    np.asarray(a.image_features, np.float32),
+                    np.asarray(b.image_features, np.float32),
+                    rtol=2e-2, atol=2e-2,
+                )
+
+
 def test_story_pipeline_window_eviction_runs():
     """Force the model to always emit an image (prompt automaton trigger is
     not guaranteed with random weights) by checking the window arithmetic
