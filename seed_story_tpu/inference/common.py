@@ -90,6 +90,7 @@ def build_stack(
     num_inference_steps: int = 50,
     image_size: int = 1024,
     force_boi_at: Optional[int] = None,
+    batch_stories: int = 1,
 ) -> InferenceStack:
     import jax
     import jax.numpy as jnp
@@ -147,6 +148,9 @@ def build_stack(
         num_img_gen_tokens=agent_cfg.num_img_out_tokens,
         cache_capacity=cache_capacity,
         force_boi_at=force_boi_at,
+        # batched serving (lockstep stories) re-prefills every segment and
+        # never threads a cache back; see StoryGenerator.generate_batch
+        return_cache=batch_stories <= 1,
     )
     generator = StoryGenerator(agent, agent_params, gcfg)
 

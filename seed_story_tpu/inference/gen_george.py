@@ -46,6 +46,11 @@ def parse_args(argv=None):
                    help="skip the SDXL de-tokenizer (text-only debugging)")
     p.add_argument("--force_boi_at", type=int, default=None)
     p.add_argument("--max_stories", type=int, default=None)
+    p.add_argument("--batch_stories", type=int, default=1,
+                   help="serve N val stories concurrently through one "
+                        "on-device program (lockstep batched decode; ~3.3x "
+                        "story throughput at N=4 on 7B — PERF.md). 1 = the "
+                        "reference's sequential behavior.")
     return p.parse_args(argv)
 
 
@@ -62,6 +67,7 @@ def main(argv=None):
         num_inference_steps=args.num_inference_steps,
         image_size=args.image_size,
         force_boi_at=args.force_boi_at,
+        batch_stories=args.batch_stories,
     )
 
     pipe = StoryGenerationPipeline(
@@ -76,7 +82,8 @@ def main(argv=None):
     data = read_jsonl(args.val_jsonl)
     if args.max_stories:
         data = data[: args.max_stories]
-    for j, d in enumerate(data):
+
+    def start_story(j, d):
         image_path = os.path.join(args.image_root, d["images"][0])
         question = d["captions"][0]
         image = Image.open(image_path).convert("RGB")
@@ -84,19 +91,35 @@ def main(argv=None):
         os.makedirs(save_folder, exist_ok=True)
         add_subtitle(image, question).save(
             os.path.join(save_folder, "000start_image.jpg"))
+        return stack.image_transform(image)[None], question, save_folder
 
-        pixels = stack.image_transform(image)[None]
+    def save_segment(j, save_folder, seg):
+        with open(os.path.join(save_folder, "text.txt"), "a+") as f:
+            f.write(seg.text + "\n")
+        with open(os.path.join(save_folder, "token.txt"), "a+") as f:
+            f.write(f"context token: (1, {seg.context_tokens})\n")
+        print(f"[val_{j}] segment {seg.index}: {seg.text[:80]}")
+        if seg.image is not None:
+            seg.image.save(
+                os.path.join(save_folder, f"ori_{seg.index:02d}.jpg"))
+            add_subtitle(seg.image, seg.text).save(
+                os.path.join(save_folder, f"{seg.index:02d}.jpg"))
+
+    if args.batch_stories > 1:
+        for base in range(0, len(data), args.batch_stories):
+            group = data[base : base + args.batch_stories]
+            started = [start_story(base + r, d) for r, d in enumerate(group)]
+            seeds = [(px, q) for px, q, _ in started]
+            for round_segs in pipe.run_batch(seeds):
+                for r, seg in enumerate(round_segs):
+                    if seg is not None:
+                        save_segment(base + r, started[r][2], seg)
+        return
+
+    for j, d in enumerate(data):
+        pixels, question, save_folder = start_story(j, d)
         for seg in pipe.run(pixels, question):
-            with open(os.path.join(save_folder, "text.txt"), "a+") as f:
-                f.write(seg.text + "\n")
-            with open(os.path.join(save_folder, "token.txt"), "a+") as f:
-                f.write(f"context token: (1, {seg.context_tokens})\n")
-            print(f"[val_{j}] segment {seg.index}: {seg.text[:80]}")
-            if seg.image is not None:
-                seg.image.save(
-                    os.path.join(save_folder, f"ori_{seg.index:02d}.jpg"))
-                add_subtitle(seg.image, seg.text).save(
-                    os.path.join(save_folder, f"{seg.index:02d}.jpg"))
+            save_segment(j, save_folder, seg)
 
 
 if __name__ == "__main__":
