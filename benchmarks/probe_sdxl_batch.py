@@ -18,7 +18,9 @@ from seed_story_tpu.models.sdxl.adapter import SDXLAdapter, SDXLAdapterConfig
 from seed_story_tpu.models.sdxl.vae import AutoencoderKL, VAEConfig
 from seed_story_tpu.pipelines.sdxl_pipeline import SDXLImagePipeline, SDXLSampleConfig
 
-acfg = SDXLAdapterConfig()
+from seed_story_tpu.models.sdxl.unet import SDXLUNetConfig
+
+acfg = SDXLAdapterConfig(unet=SDXLUNetConfig(param_dtype=jnp.bfloat16))
 adapter = SDXLAdapter(acfg)
 init_args = dict(
     noisy_latents=jnp.zeros((1, 128, 128, 4), jnp.bfloat16),
@@ -30,7 +32,7 @@ init_args = dict(
 t0 = time.time()
 ap = nn.meta.unbox(jax.jit(
     lambda: adapter.init(jax.random.PRNGKey(0), **init_args)["params"])())
-vae = AutoencoderKL(VAEConfig(dtype=jnp.bfloat16))
+vae = AutoencoderKL(VAEConfig(dtype=jnp.bfloat16, param_dtype=jnp.bfloat16))
 vp = nn.meta.unbox(jax.jit(
     lambda: vae.init(jax.random.PRNGKey(1), jnp.zeros((1, 64, 64, 3)))["params"])())
 print("init:", round(time.time() - t0, 1), "s", flush=True)

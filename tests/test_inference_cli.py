@@ -120,3 +120,43 @@ def test_gen_george_cli_batched(ws, tmp_path):
     _run(ws, out, ["--max_stories", "2", "--batch_stories", "2"])
     _check_story(str(out / "val_0"))
     _check_story(str(out / "val_1"))
+
+
+def test_vis_george_sink_cli(ws, tmp_path):
+    """Sink-cache visualization CLI end to end: ground-truth texts in,
+    generated frames out, KV cache threaded across turns."""
+    import json
+
+    from seed_story_tpu.inference.vis_george_sink import main
+
+    # visualization needs multi-caption stories
+    with open(ws / "vis.jsonl", "w") as f:
+        f.write(json.dumps({
+            "images": ["s0_0.jpg"],
+            "captions": [f"scene {i} of the dog story" for i in range(4)],
+        }) + "\n")
+
+    cfg = ws / "configs"
+    out = tmp_path / "out_vis"
+    argv = [
+        "--tokenizer", str(cfg / "tokenizer.yaml"),
+        "--image_transform", str(cfg / "transform.yaml"),
+        "--visual_encoder", str(cfg / "vit.yaml"),
+        "--llm_model", str(cfg / "llm.yaml"),
+        "--agent_model", str(cfg / "agent.yaml"),
+        "--adapter", str(cfg / "adapter.yaml"),
+        "--vae_config", str(cfg / "vae.yaml"),
+        "--val_jsonl", str(ws / "vis.jsonl"),
+        "--image_root", str(ws / "images"),
+        "--save_dir", str(out),
+        "--story_len", "4",
+        "--window_size", "2",
+        "--max_new_tokens", "24",
+        "--num_inference_steps", "2",
+        "--image_size", "32",
+        "--max_stories", "1",
+    ]
+    main(argv)
+    folder = str(out / "val_0")
+    jpgs = [f for f in os.listdir(folder) if f.endswith(".jpg")]
+    assert jpgs, os.listdir(folder)
