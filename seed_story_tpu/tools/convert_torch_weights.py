@@ -169,7 +169,10 @@ def convert_qwen_resampler(sd: StateDict, prefix: str = ""):
     b = _Builder({k[len(prefix):]: v for k, v in sd.items()
                   if k.startswith(prefix)})
     b.set("query", b.take("query"))
-    b.linear("kv_proj", "kv_proj", bias=False)
+    if prefix + "kv_proj.weight" in sd:
+        # kv_proj exists only when kv_dim != embed_dim (qwen_visual.py:108);
+        # the 7B agent resamplers are 4096->4096 and have none
+        b.linear("kv_proj", "kv_proj", bias=False)
     b.norm("ln_q", "ln_q")
     b.norm("ln_kv", "ln_kv")
     b.set("attn/in_proj_weight", b.take("attn.in_proj_weight"))

@@ -186,3 +186,104 @@ def test_logits_processor_golden(ref_path):
         if prev not in chain[:-1]:
             # out-of-chain: exact semantics — img ids zeroed, rest untouched
             np.testing.assert_array_equal(out, ref_out)
+
+
+def test_agent_continuous_lvlm_golden(ref_path):
+    """The flagship module: our ContinuousLVLM vs the REFERENCE agent
+    (src/models_clm/models.py:20-96) on identical weights and a batch with
+    context images, gen images, -100 labels, and a padded row — losses and
+    reconstructed image embeds must match."""
+    from src.models.qwen_visual import Resampler as RefResampler
+    from src.models_clm.models import ContinuousLVLM as RefAgent
+    from transformers import LlamaConfig as HFConfig
+    from transformers import LlamaForCausalLM as HFLlama
+
+    from seed_story_tpu.models.agent import AgentConfig, ContinuousLVLM
+    from seed_story_tpu.tools.convert_torch_weights import convert_agent
+
+    torch.manual_seed(3)
+    acfg = AgentConfig.tiny()  # hidden == vit_dim == 128: kv_dim None, as 7B
+    C = acfg.llm
+    hf_cfg = HFConfig(
+        vocab_size=C.vocab_size, hidden_size=C.hidden_size,
+        intermediate_size=C.intermediate_size,
+        num_hidden_layers=C.num_hidden_layers,
+        num_attention_heads=C.num_attention_heads,
+        num_key_value_heads=C.kv_heads,
+        max_position_embeddings=C.max_position_embeddings,
+        rms_norm_eps=C.rms_norm_eps, rope_theta=C.rope_theta,
+        attn_implementation="eager", tie_word_embeddings=False,
+    )
+    llm = HFLlama(hf_cfg).eval()
+    in_res = RefResampler(
+        grid_size=acfg.input_resampler_grid, embed_dim=C.hidden_size,
+        num_heads=acfg.resampler_heads).eval()
+    out_res = RefResampler(
+        grid_size=acfg.output_resampler_grid, embed_dim=acfg.vit_dim,
+        num_heads=acfg.resampler_heads).eval()
+    ref = RefAgent(llm=llm, input_resampler=in_res,
+                   output_resampler=out_res).eval()
+
+    # batch: 2 rows x 40 tokens; 4 flattened images (cmp, gen per row);
+    # row 1 carries a padded tail
+    B, S, N = 2, 40, 4
+    nq_in, nq_out = acfg.num_img_in_tokens, acfg.num_img_out_tokens  # 4, 9
+    rng = np.random.RandomState(5)
+    input_ids = rng.randint(5, 30000, (B, S)).astype(np.int64)
+    attention_mask = np.ones((B, S), np.int64)
+    attention_mask[1, 36:] = 0
+    labels = input_ids.copy()
+    labels[:, :6] = -100
+    labels[1, 36:] = -100
+    embeds_cmp = np.array([True, False, True, False])
+    embeds_gen = np.array([False, True, False, True])
+    ids_cmp = np.zeros((B, S), bool)
+    ids_cmp[0, 5:5 + nq_in] = True
+    ids_cmp[1, 8:8 + nq_in] = True
+    ids_gen = np.zeros((B, S), bool)
+    ids_gen[0, 20:20 + nq_out] = True
+    ids_gen[1, 24:24 + nq_out] = True
+    image_embeds = rng.randn(N, acfg.num_vit_tokens, acfg.vit_dim
+                             ).astype(np.float32)
+
+    with torch.no_grad():
+        ref_out = ref(
+            input_ids=torch.from_numpy(input_ids),
+            attention_mask=torch.from_numpy(attention_mask),
+            labels=torch.from_numpy(labels),
+            image_embeds=torch.from_numpy(image_embeds),
+            embeds_gen_mask=torch.from_numpy(embeds_gen),
+            embeds_cmp_mask=torch.from_numpy(embeds_cmp),
+            ids_gen_mask=torch.from_numpy(ids_gen),
+            ids_cmp_mask=torch.from_numpy(ids_cmp),
+            return_recon_image_embeds=True,
+        )
+
+    params, missing, unexpected = convert_agent(
+        _sd(ref), num_layers=C.num_hidden_layers)
+    assert not missing and not unexpected, (missing, unexpected)
+
+    ours = ContinuousLVLM(acfg)
+    out = ours.apply(
+        {"params": params},
+        input_ids=jnp.asarray(input_ids, jnp.int32),
+        attention_mask=jnp.asarray(attention_mask, jnp.int32),
+        labels=jnp.asarray(labels, jnp.int32),
+        image_embeds=jnp.asarray(image_embeds),
+        embeds_gen_mask=jnp.asarray(embeds_gen),
+        embeds_cmp_mask=jnp.asarray(embeds_cmp),
+        ids_gen_mask=jnp.asarray(ids_gen),
+        ids_cmp_mask=jnp.asarray(ids_cmp),
+    )
+
+    np.testing.assert_allclose(
+        float(out["lm_loss"]), float(ref_out["lm_loss"]), atol=2e-4, rtol=2e-4)
+    np.testing.assert_allclose(
+        float(out["rec_loss"]), float(ref_out["rec_loss"]), atol=2e-4, rtol=2e-4)
+    np.testing.assert_allclose(
+        float(out["total_loss"]), float(ref_out["total_loss"]),
+        atol=4e-4, rtol=2e-4)
+    # ours carries every image row; the reference returns gen rows only
+    recon = np.asarray(out["recon_image_embeds"])[embeds_gen]
+    np.testing.assert_allclose(
+        recon, ref_out["recon_image_embeds"].numpy(), atol=2e-4, rtol=1e-3)
