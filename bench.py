@@ -230,13 +230,26 @@ def run_sdxl_phase(acfg, feats, sdxl_steps):
         cfg=SDXLSampleConfig(height=1024, width=1024,
                              num_inference_steps=sdxl_steps),
     )
-    neg = np.zeros((1, acfg.num_vit_tokens, acfg.vit_dim), np.float32)
+    # detok images in PAIRS: the UNet averages ~46% MXU at B=1 (CFG pair),
+    # and a 2-image batch (CFG batch 4) measures ~8% faster per image;
+    # B=4 exceeds 16GB at 1024px (benchmarks/probe_sdxl_batch.py)
+    group = 2 if len(feats) > 1 else 1
+    neg1 = np.zeros((1, acfg.num_vit_tokens, acfg.vit_dim), np.float32)
 
-    img = pipe.generate(feats[0], neg)[0]  # warmup / compile
-    assert img is not None
+    def chunks():
+        for i in range(0, len(feats), group):
+            f = np.concatenate(feats[i : i + group], axis=0)
+            yield f, np.broadcast_to(neg1, f.shape)
+
+    warm = [next(iter(chunks()))]
+    if len(feats) % group:
+        warm.append((feats[-1], neg1))  # odd tail compiles its own shape
+    for f, neg in warm:
+        img = pipe.generate(f, neg)[0]  # warmup / compile each batch shape
+        assert img is not None
 
     t0 = time.perf_counter()
-    for f in feats:
+    for f, neg in chunks():
         img = pipe.generate(f, neg)[0]
     dt = time.perf_counter() - t0
     return dt, len(feats)

@@ -125,10 +125,18 @@ def test_stage2_entry_runs_and_resumes(workspace):
         "--warmup_steps", "1",
         "--sharding", "fsdp",
         "--mesh_data", "2",
+        "--profile_start", "1",
+        "--profile_stop", "2",
     ]
     state = main(argv)
     assert int(state.step) == 3
     assert (out / "3").exists()  # checkpoint dir
+    # the jax.profiler trace window (SURVEY §5.1: absent in the reference,
+    # first-class here) produced a capture under output_dir
+    import glob
+
+    assert glob.glob(str(out / "plugins" / "profile" / "*")), (
+        "profiler trace missing")
 
     # resume continues from step 3
     state2 = main(argv + ["--resume_from_checkpoint", str(out), "--max_steps", "4"])
