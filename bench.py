@@ -230,26 +230,16 @@ def run_sdxl_phase(acfg, feats, sdxl_steps):
         cfg=SDXLSampleConfig(height=1024, width=1024,
                              num_inference_steps=sdxl_steps),
     )
-    # detok images in PAIRS: the UNet averages ~46% MXU at B=1 (CFG pair),
-    # and a 2-image batch (CFG batch 4) measures ~8% faster per image;
-    # B=4 exceeds 16GB at 1024px (benchmarks/probe_sdxl_batch.py)
-    group = 2 if len(feats) > 1 else 1
-    neg1 = np.zeros((1, acfg.num_vit_tokens, acfg.vit_dim), np.float32)
+    # one image per call: multi-image batches measured neutral (B=2) to
+    # OOM (B=4) at 1024px — the UNet is compute-saturated per sample
+    # (benchmarks/probe_sdxl_batch.py)
+    neg = np.zeros((1, acfg.num_vit_tokens, acfg.vit_dim), np.float32)
 
-    def chunks():
-        for i in range(0, len(feats), group):
-            f = np.concatenate(feats[i : i + group], axis=0)
-            yield f, np.broadcast_to(neg1, f.shape)
-
-    warm = [next(iter(chunks()))]
-    if len(feats) % group:
-        warm.append((feats[-1], neg1))  # odd tail compiles its own shape
-    for f, neg in warm:
-        img = pipe.generate(f, neg)[0]  # warmup / compile each batch shape
-        assert img is not None
+    img = pipe.generate(feats[0], neg)[0]  # warmup / compile
+    assert img is not None
 
     t0 = time.perf_counter()
-    for f, neg in chunks():
+    for f in feats:
         img = pipe.generate(f, neg)[0]
     dt = time.perf_counter() - t0
     return dt, len(feats)

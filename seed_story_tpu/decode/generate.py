@@ -45,6 +45,15 @@ class GenerateConfig:
     # padded to this so a growing story shares ONE compiled program
     # (window_size in the pipelines; 8 in the reference).
     max_context_images: int = 8
+    # >0 enables speculative decoding via prompt-lookup drafting (B=1,
+    # greedy only): each step verifies K drafted tokens plus the committed
+    # token in ONE K+1-query pass — decode is latency-bound per dependent
+    # pass (PERF.md), so a pass costs about one token but can commit up to
+    # K+1. Drafts come from the last occurrence of the trailing bigram in
+    # prompt+generated history (the 66-token forced image chains repeat
+    # verbatim, so image blocks stream at up to K+1 tokens/pass). Output
+    # is EXACTLY the plain greedy output (verified token by token).
+    speculate_k: int = 0
     # When False the on-device program does not return the updated KV cache
     # (the gen_george story flow re-prefills the full prompt each segment and
     # never reads it back); combined with the always-on cache donation this
@@ -158,6 +167,57 @@ class StoryGenerator:
         first_token = pick(prev_token, last_logits, 0)
         tokens_buf = tokens_buf.at[:, 0].set(first_token)
 
+        if cfg.speculate_k > 0:
+            assert b == 1, "speculative decoding is the B=1 latency path"
+            assert cfg.temperature == 0.0, "speculative decoding is greedy-only"
+            assert cfg.force_boi_at is None, (
+                "force_boi_at's step counter is incompatible with multi-token "
+                "commits"
+            )
+            assert not cfg.return_cache, (
+                "speculative mode does not preserve the plain loop's final "
+                "cache length; use return_cache=False"
+            )
+            num_generated, cache, tokens_buf, hidden_buf = self._spec_loop(
+                apply, agent, cache, tokens_buf, hidden_buf,
+                input_ids, prompt_len,
+            )
+        else:
+            num_generated, cache, tokens_buf, hidden_buf = \
+                self._plain_loop(apply, agent, cache, tokens_buf, hidden_buf,
+                                 pick)
+
+        # ---- image feature extraction (last </img> per row) ----------
+        is_eoi = (tokens_buf == cfg.eoi_token_id) & (
+            jnp.arange(max_new)[None, :] < num_generated[:, None]
+        )
+        has_img = is_eoi.any(axis=1)  # (B,)
+        last_eoi = jnp.where(
+            has_img, max_new - 1 - jnp.argmax(is_eoi[:, ::-1], axis=1),
+            cfg.num_img_gen_tokens,
+        )
+        start = jnp.clip(last_eoi - cfg.num_img_gen_tokens, 0)  # (B,)
+        block = jax.vmap(
+            lambda hb, st: jax.lax.dynamic_slice(
+                hb, (st, 0), (cfg.num_img_gen_tokens, d)
+            )
+        )(hidden_buf, start)  # (B, num_img_gen_tokens, D)
+        img_feat = apply(agent.resample_output, block)  # (B, 256, vit_dim)
+
+        out = {
+            "tokens": tokens_buf,
+            "num_generated": num_generated,
+            "has_img_output": has_img,
+            "img_gen_feat": img_feat,
+        }
+        if cfg.return_cache:
+            out["cache"] = cache
+        return out
+
+    def _plain_loop(self, apply, agent, cache, tokens_buf, hidden_buf, pick):
+        cfg = self.cfg
+        b, max_new = tokens_buf.shape
+
         def cond(state):
             i, done, *_ = state
             return jnp.logical_and(i < max_new, jnp.logical_not(done.all()))
@@ -186,33 +246,103 @@ class StoryGenerator:
         i, done, num_generated, cache, tokens_buf, hidden_buf = jax.lax.while_loop(
             cond, body, state0
         )
+        return num_generated, cache, tokens_buf, hidden_buf
 
-        # ---- image feature extraction (last </img> per row) ----------
-        is_eoi = (tokens_buf == cfg.eoi_token_id) & (
-            jnp.arange(max_new)[None, :] < num_generated[:, None]
-        )
-        has_img = is_eoi.any(axis=1)  # (B,)
-        last_eoi = jnp.where(
-            has_img, max_new - 1 - jnp.argmax(is_eoi[:, ::-1], axis=1),
-            cfg.num_img_gen_tokens,
-        )
-        start = jnp.clip(last_eoi - cfg.num_img_gen_tokens, 0)  # (B,)
-        block = jax.vmap(
-            lambda hb, st: jax.lax.dynamic_slice(
-                hb, (st, 0), (cfg.num_img_gen_tokens, d)
+    def _spec_loop(self, apply, agent, cache, tokens_buf, hidden_buf,
+                   input_ids, prompt_len):
+        """Speculative greedy decode via prompt-lookup drafting (B=1).
+
+        Each pass feeds ``[t_prev, d_0..d_{K-1}]`` (K+1 tokens) through the
+        small-q cache path and commits the longest verified prefix plus one
+        bonus token — byte-identical output to the plain loop, pinned by
+        ``test_speculative_decode_matches_greedy``. The per-row KV-cache
+        ``length`` makes draft rollback free: rejected entries sit beyond
+        ``length`` (masked) and the next pass's insert overwrites them.
+        Worst case (no accepts) each pass still commits one token for about
+        one token's cost — decode is latency-bound per dependent pass, not
+        byte-bound (PERF.md "Decode roofline anatomy")."""
+        import dataclasses as _dc
+
+        cfg = self.cfg
+        K = cfg.speculate_k
+        b, max_new = tokens_buf.shape
+        d = hidden_buf.shape[-1]
+
+        # K+1 slack: commit blocks are written as static K+1 slices; the
+        # tail garbage is either overwritten by the next pass or masked out
+        tokens_buf = jnp.pad(tokens_buf, ((0, 0), (0, K + 1)))
+        hidden_buf = jnp.pad(hidden_buf, ((0, 0), (0, K + 1), (0, 0)))
+
+        P = input_ids.shape[1]
+        hist0 = jnp.zeros((P + max_new + K + 1,), jnp.int32)
+        hist0 = jax.lax.dynamic_update_slice(hist0, input_ids[0], (0,))
+        p0 = prompt_len[0]
+
+        def draft_for(tokens_row, idx):
+            # most recent earlier occurrence of the trailing bigram; the K
+            # tokens that followed it become the draft (garbage drafts are
+            # safe — verification rejects them)
+            hist = jax.lax.dynamic_update_slice(hist0, tokens_row, (p0,))
+            hlen = p0 + idx
+            last2 = jax.lax.dynamic_slice(hist, (hlen - 2,), (2,))
+            jpos = jnp.arange(hist.shape[0] - 1)
+            match = (hist[:-1] == last2[0]) & (hist[1:] == last2[1]) & (
+                jpos < hlen - 2
             )
-        )(hidden_buf, start)  # (B, num_img_gen_tokens, D)
-        img_feat = apply(agent.resample_output, block)  # (B, 256, vit_dim)
+            m = jnp.max(jnp.where(match, jpos, -1))
+            src = jnp.where(m >= 0, m + 2, hlen)
+            return jax.lax.dynamic_slice(hist, (src,), (K,))
 
-        out = {
-            "tokens": tokens_buf,
-            "num_generated": num_generated,
-            "has_img_output": has_img,
-            "img_gen_feat": img_feat,
-        }
-        if cfg.return_cache:
-            out["cache"] = cache
-        return out
+        def pick(prev, logits):  # (S,), (S, V) -> (S,) greedy + automaton
+            logits = self.automaton(prev, logits.astype(jnp.float32))
+            return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+        def cond(state):
+            idx, done, *_ = state
+            return jnp.logical_and(idx < max_new, jnp.logical_not(done))
+
+        def body(state):
+            idx, done, cache, tokens_buf, hidden_buf = state
+            t_prev = jax.lax.dynamic_slice(tokens_buf[0], (idx - 1,), (1,))
+            drafts = draft_for(tokens_buf[0], idx)
+            block = jnp.concatenate([t_prev, drafts])  # (K+1,)
+            L = cache.length
+            out = apply(agent.llm_step,
+                        apply(agent.embed_tokens, block[None, :]), cache)
+            cache = out["cache"]
+            nxt = pick(block, out["logits"][0])  # (K+1,) verified successors
+            accept = jnp.sum(jnp.cumprod(
+                (nxt[:K] == drafts).astype(jnp.int32)))
+            is_eos = nxt == cfg.eos_token_id
+            first_eos = jnp.min(
+                jnp.where(is_eos, jnp.arange(K + 1), K + 1))
+            ncommit = jnp.minimum(
+                jnp.minimum(accept + 1, first_eos + 1), max_new - idx)
+            # the plain loop detects eos when CONSUMED: a pass whose t_prev
+            # is already eos commits nothing and stops (num freezes at idx)
+            prev_is_eos = t_prev[0] == cfg.eos_token_id
+            ncommit = jnp.where(prev_is_eos, 0, ncommit)
+            done = jnp.logical_or(
+                prev_is_eos,
+                jnp.logical_or(first_eos + 1 <= ncommit,
+                               idx + ncommit >= max_new),
+            )
+            tokens_buf = jax.lax.dynamic_update_slice(
+                tokens_buf, nxt[None, :], (0, idx))
+            hidden_buf = jax.lax.dynamic_update_slice(
+                hidden_buf, out["hidden_states"][:1], (0, idx - 1, 0))
+            # valid cache entries: t_prev + the accepted drafts that were
+            # consumed (= ncommit-1); the bonus token is fed next pass
+            cache = _dc.replace(cache, length=L + ncommit)
+            return idx + ncommit, done, cache, tokens_buf, hidden_buf
+
+        state0 = (jnp.int32(1), jnp.bool_(False), cache, tokens_buf, hidden_buf)
+        idx, done, cache, tokens_buf, hidden_buf = jax.lax.while_loop(
+            cond, body, state0
+        )
+        num_generated = jnp.full((b,), idx, jnp.int32)
+        return (num_generated, cache,
+                tokens_buf[:, :max_new], hidden_buf[:, :max_new])
 
     # -- host API ------------------------------------------------------
 

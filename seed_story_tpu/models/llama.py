@@ -418,15 +418,16 @@ class LlamaAttention(nn.Module):
                 v_buf = jax.vmap(insert)(cache.v[layer_idx], v.astype(cache.v[layer_idx].dtype), start)
             new_cache_slice = (k_buf, v_buf, k_sc_buf, v_sc_buf)
             new_len = seq_lengths if seq_lengths is not None else s
-            if s == 1:
-                # single-token decode: masked matvecs with NO fp32 cache
-                # copy (ops/attention.py decode_attention) — beats both a
-                # Pallas launch and the fp32-casting reference path
+            if s <= 8:
+                # small-q decode (single token or a short speculative-verify
+                # block): masked matvecs with NO fp32/bf16 cache copy
+                # (ops/attention.py decode_attention) — beats both a Pallas
+                # launch and the cache-dequantizing multi-token path
                 from ..ops.attention import decode_attention
 
                 out = decode_attention(
                     q.astype(cfg.dtype), k_buf, v_buf, kv_len=start + new_len,
-                    k_scale=k_sc_buf, v_scale=v_sc_buf,
+                    q_start=start, k_scale=k_sc_buf, v_scale=v_sc_buf,
                 )
             else:
                 if cache.quantized:

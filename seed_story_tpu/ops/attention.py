@@ -107,11 +107,13 @@ def decode_attention(
     v: jax.Array,
     *,
     kv_len: jax.Array,
+    q_start: Optional[jax.Array] = None,
     scale: Optional[float] = None,
     k_scale: Optional[jax.Array] = None,  # (B, Hkv, C) int8-KV dequant scales
     v_scale: Optional[jax.Array] = None,
 ) -> jax.Array:
-    """Single-query attention tuned for the decode hot path.
+    """Small-query attention tuned for the decode hot path (single-token
+    decode and short speculative-verify blocks).
 
     K/V are read in their STORED dtype with fp32 MXU accumulation
     (preferred_element_type) — unlike ``mha_reference`` there is no
@@ -120,29 +122,41 @@ def decode_attention(
     to fp32 costs ~4 ms/token. GQA is handled by folding the group into
     the query rows (no repeated K/V). Softmax stays fp32; probabilities
     are cast to the value dtype for the PV matvec (the same compromise
-    the flash kernel makes).
+    the flash kernel makes). Int8 cache mode folds the per-token dequant
+    scales into the score/probability vectors AFTER the contractions, so
+    no bf16 cache copy ever materializes (the s>1 mha path would).
 
-    q: (B, Hq, 1, D); k/v: (B, Hkv, C, D); kv_len: (B,) valid prefix.
-    Returns (B, Hq, 1, D) in q.dtype.
+    q: (B, Hq, S, D) with small S; k/v: (B, Hkv, C, D); kv_len: (B,)
+    valid prefix. For S > 1, ``q_start`` (B,) gives the cache position of
+    query 0 — query i attends keys < q_start + i + 1, so rows whose
+    per-row valid count is below S stay causally correct (their garbage
+    tail queries produce ignored outputs). Returns (B, Hq, S, D).
     """
     b, hq, sq, d = q.shape
     _, hkv, c, _ = k.shape
-    assert sq == 1 and hq % hkv == 0, (q.shape, k.shape)
+    assert hq % hkv == 0, (q.shape, k.shape)
+    assert sq == 1 or q_start is not None, "q_start required for multi-query"
     group = hq // hkv
     if scale is None:
         scale = 1.0 / float(np.sqrt(d))
-    qg = q.reshape(b, hkv, group, d)
+    qg = q.reshape(b, hkv, group * sq, d)
     # int8-KV mode: the dot reads the int8 bytes (convert fuses into the
-    # matmul operand load) and the per-token dequant scales fold into the
-    # (C,)-sized score/probability vectors AFTER the contraction — the
-    # bf16 cache copy never exists.
+    # matmul operand load); scales apply to the (C,) vectors post-dot.
     kd = k if k.dtype == qg.dtype else k.astype(qg.dtype)
     logits = jnp.einsum(
         "bhgd,bhcd->bhgc", qg, kd, preferred_element_type=jnp.float32
-    ) * scale
+    ) * scale  # (B, Hkv, group*S, C)
     if k_scale is not None:
         logits = logits * k_scale[:, :, None, :].astype(jnp.float32)
-    mask = jnp.arange(c)[None, None, None, :] < kv_len[:, None, None, None]
+    pos = jnp.arange(c)[None, None, None, :]
+    if sq == 1:
+        mask = pos < kv_len[:, None, None, None]
+    else:
+        # per-query causal limit, tiled to the (group*S) row layout of qg
+        limit = q_start[:, None] + jnp.arange(sq)[None, :] + 1  # (B, S)
+        limit = jnp.minimum(limit, kv_len[:, None])
+        limit = jnp.tile(limit, (1, group))  # (B, group*S) rows g-major
+        mask = pos < limit[:, None, :, None]
     logits = jnp.where(mask, logits, DEFAULT_MASK_VALUE)
     probs = jax.nn.softmax(logits, axis=-1)
     probs = jnp.where(mask.any(axis=-1, keepdims=True), probs, 0.0)
@@ -154,7 +168,7 @@ def decode_attention(
         "bhgc,bhcd->bhgd", probs.astype(pv_dtype), vd,
         preferred_element_type=jnp.float32,
     )
-    return out.reshape(b, hq, 1, d).astype(q.dtype)
+    return out.reshape(b, hq, sq, d).astype(q.dtype)
 
 
 # ---------------------------------------------------------------------------

@@ -179,3 +179,26 @@ def test_decode_attention_matches_reference():
         np.testing.assert_allclose(
             np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5
         )
+
+
+def test_decode_attention_multi_query():
+    """The small-q path (speculative-verify blocks): bottom-right masked
+    S>1 queries against a long cache == mha_reference, incl. GQA and
+    per-row q_start below kv_len - S (rows with fewer valid new tokens)."""
+    from seed_story_tpu.ops.attention import decode_attention, mha_reference
+
+    rng = np.random.RandomState(1)
+    for hq, hkv in ((8, 8), (8, 2)):
+        b, c, d, s = 3, 96, 64, 5
+        q = jnp.asarray(rng.randn(b, hq, s, d), jnp.float32)
+        k = jnp.asarray(rng.randn(b, hkv, c, d), jnp.float32)
+        v = jnp.asarray(rng.randn(b, hkv, c, d), jnp.float32)
+        q_start = jnp.asarray([0, 20, 91], jnp.int32)
+        kv_len = q_start + s
+        got = decode_attention(q, k, v, kv_len=kv_len, q_start=q_start)
+        want = mha_reference(
+            q, k, v, causal=True, q_start=q_start, kv_len=kv_len
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5
+        )

@@ -116,6 +116,31 @@ def test_generate_deterministic_and_bucket_invariant():
     )
 
 
+def test_speculative_decode_matches_greedy():
+    """Prompt-lookup speculative decoding must be BYTE-IDENTICAL to plain
+    greedy decode — tokens, num_generated, has_img, features. The prompt
+    ends with <img>, so the forced 9-token image chain runs through the
+    verifier (drafted from the prompt's earlier chain at 100% accept)."""
+    gen, prompt, ids_cmp, image_embeds, embeds_cmp = _mk_generator()
+    gen.cfg.return_cache = False
+    gen._compiled.clear()
+    ref = gen.generate(np.array(prompt), image_embeds, embeds_cmp, ids_cmp)
+
+    for k in (3, 4):
+        gen.cfg.speculate_k = k
+        gen._compiled.clear()
+        got = gen.generate(np.array(prompt), image_embeds, embeds_cmp, ids_cmp)
+        assert got["num_generated"] == ref["num_generated"], k
+        np.testing.assert_array_equal(got["generate_ids"], ref["generate_ids"])
+        assert got["has_img_output"] == ref["has_img_output"]
+        np.testing.assert_allclose(
+            np.asarray(got["img_gen_feat"], np.float32),
+            np.asarray(ref["img_gen_feat"], np.float32),
+            rtol=2e-2, atol=2e-2,
+        )
+    gen.cfg.speculate_k = 0
+
+
 def test_generate_batch_matches_individual():
     """generate_batch (B stories in lockstep) must reproduce each story's
     individual greedy output exactly — different prompt lengths per row."""
