@@ -140,6 +140,10 @@ def run_mllm_phase(preset, acfg, max_new, n_segments, window, n_stories=1):
     # of the worst case ~3.1GB. Each bucket is its own compile; the
     # warmup pass below covers all of them (persistent cache across runs).
     max_prompt = 80 + window * (max_new + 70)
+    # speculative prompt-lookup decode in the B=1 latency mode: worst case
+    # measured FREE at 7B (verify pass == one decode pass, PERF.md), and
+    # the forced image chains + random-weight repetition loops accept
+    spec = int(os.environ.get("SEED_STORY_BENCH_SPEC", "4"))
     gcfg = GenerateConfig(
         max_new_tokens=max_new,
         num_img_gen_tokens=acfg.num_img_out_tokens,
@@ -148,6 +152,7 @@ def run_mllm_phase(preset, acfg, max_new, n_segments, window, n_stories=1):
         force_boi_at=max_new - acfg.num_img_out_tokens - 8,
         max_context_images=window,
         return_cache=False,  # story flow never reads it back; saves a 7B-cache copy
+        speculate_k=spec if n_stories == 1 else 0,
     )
     gen = StoryGenerator(agent, params, gcfg)
 
@@ -302,7 +307,9 @@ def main():
 
     detok = (f"SDXL-base 1024px {sdxl_steps}-step CFG" if use_sdxl
              else "detok stubbed")
-    q = "int8-weight" + ("+kv" if kv_int8 else "") + " decode"
+    spec = int(os.environ.get("SEED_STORY_BENCH_SPEC", "4")) if n_stories == 1 else 0
+    q = ("int8-weight" + ("+kv" if kv_int8 else "")
+         + (f"+speculative(k={spec})" if spec else "") + " decode")
     scale = (f"7B {q}" if int8 else "7B") if preset == "full" else preset
     serve = (f"; {n_stories} concurrent stories (batched serving mode)"
              if n_stories > 1 else "")

@@ -170,10 +170,6 @@ class StoryGenerator:
         if cfg.speculate_k > 0:
             assert b == 1, "speculative decoding is the B=1 latency path"
             assert cfg.temperature == 0.0, "speculative decoding is greedy-only"
-            assert cfg.force_boi_at is None, (
-                "force_boi_at's step counter is incompatible with multi-token "
-                "commits"
-            )
             assert not cfg.return_cache, (
                 "speculative mode does not preserve the plain loop's final "
                 "cache length; use return_cache=False"
@@ -293,9 +289,20 @@ class StoryGenerator:
             src = jnp.where(m >= 0, m + 2, hlen)
             return jax.lax.dynamic_slice(hist, (src,), (K,))
 
-        def pick(prev, logits):  # (S,), (S, V) -> (S,) greedy + automaton
+        from ..data.tokenizer import BOI_TOKEN_ID
+
+        def pick(prev, logits, steps):  # (S,), (S, V), (S,) -> (S,)
             logits = self.automaton(prev, logits.astype(jnp.float32))
-            return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            if cfg.force_boi_at is not None:
+                # same per-position semantics as the plain loop: the token
+                # destined for buf position p is forced when p ==
+                # force_boi_at and the automaton chain is not active
+                in_chain = self.automaton.forced_next[prev] >= 0
+                force = jnp.logical_and(steps == cfg.force_boi_at,
+                                        jnp.logical_not(in_chain))
+                tok = jnp.where(force, BOI_TOKEN_ID, tok)
+            return tok
 
         def cond(state):
             idx, done, *_ = state
@@ -310,7 +317,8 @@ class StoryGenerator:
             out = apply(agent.llm_step,
                         apply(agent.embed_tokens, block[None, :]), cache)
             cache = out["cache"]
-            nxt = pick(block, out["logits"][0])  # (K+1,) verified successors
+            nxt = pick(block, out["logits"][0],
+                       idx + jnp.arange(K + 1))  # (K+1,) verified successors
             accept = jnp.sum(jnp.cumprod(
                 (nxt[:K] == drafts).astype(jnp.int32)))
             is_eos = nxt == cfg.eos_token_id

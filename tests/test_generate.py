@@ -140,6 +140,19 @@ def test_speculative_decode_matches_greedy():
         )
     gen.cfg.speculate_k = 0
 
+    # force_boi_at interplay: the forced <img> lands at the same absolute
+    # position and the forced chain verifies identically
+    gen.cfg.force_boi_at = 12
+    gen._compiled.clear()
+    ref_f = gen.generate(np.array(prompt), image_embeds, embeds_cmp, ids_cmp)
+    gen.cfg.speculate_k = 4
+    gen._compiled.clear()
+    got_f = gen.generate(np.array(prompt), image_embeds, embeds_cmp, ids_cmp)
+    np.testing.assert_array_equal(got_f["generate_ids"], ref_f["generate_ids"])
+    assert got_f["num_generated"] == ref_f["num_generated"]
+    gen.cfg.speculate_k = 0
+    gen.cfg.force_boi_at = None
+
 
 def test_generate_batch_matches_individual():
     """generate_batch (B stories in lockstep) must reproduce each story's
