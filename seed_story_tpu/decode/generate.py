@@ -27,6 +27,19 @@ from ..models.llama import KVCache
 from .logits_processors import ImageTokenAutomaton
 
 
+def top_p_filter(logits: jax.Array, top_p: float) -> jax.Array:
+    """Nucleus filter: keep the smallest prefix of descending-probability
+    tokens whose cumulative mass reaches ``top_p``; the rest go to -inf."""
+    sorted_l = jnp.sort(logits, axis=-1)[..., ::-1]
+    probs = jax.nn.softmax(sorted_l, axis=-1)
+    cum = jnp.cumsum(probs, axis=-1)
+    drop = (cum - probs) >= top_p  # cumulative mass BEFORE this token
+    thresh = jnp.min(
+        jnp.where(drop, jnp.inf, sorted_l), axis=-1, keepdims=True
+    )  # smallest kept logit
+    return jnp.where(logits >= thresh, logits, -jnp.inf)
+
+
 @dataclasses.dataclass
 class GenerateConfig:
     max_new_tokens: int = 500
@@ -35,7 +48,9 @@ class GenerateConfig:
     eoi_token_id: int = EOI_TOKEN_ID
     cache_capacity: int = 4096
     prompt_bucket: int = 128  # prompts pad up to a multiple of this
-    temperature: float = 0.0  # 0 => greedy (reference uses do_sample=False)
+    # 0 => greedy (the reference calls generate with do_sample=False);
+    # >0 => temperature + nucleus sampling, seeded via generate(seed=...)
+    temperature: float = 0.0
     top_p: float = 1.0
     # Testing/benchmark knob: force a '<img>' at this decode step if the
     # model hasn't opened an image block on its own (untrained weights
@@ -118,6 +133,7 @@ class StoryGenerator:
         image_embeds,  # (B*max_img, vit_tokens, vit_dim) flattened image axis
         embeds_cmp_mask,  # (B*max_img,)
         ids_cmp_mask,  # (B, P)
+        seed,  # () int32 — sampling stream (unused/DCE'd when greedy)
         cache: KVCache,
     ):
         """Decode is HBM-bound on parameter bytes at B=1, so B stories share
@@ -151,9 +167,19 @@ class StoryGenerator:
 
         from ..data.tokenizer import BOI_TOKEN_ID
 
+        base_key = jax.random.PRNGKey(seed)
+
         def pick(prev_token, logits, step):  # (B,), (B, V) -> (B,)
             logits = self.automaton(prev_token, logits.astype(jnp.float32))
-            tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # greedy
+            if cfg.temperature > 0.0:
+                scaled = logits / cfg.temperature
+                if cfg.top_p < 1.0:
+                    scaled = top_p_filter(scaled, cfg.top_p)
+                tok = jax.random.categorical(
+                    jax.random.fold_in(base_key, step), scaled, axis=-1
+                ).astype(jnp.int32)
+            else:
+                tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # greedy
             if cfg.force_boi_at is not None:
                 in_chain = self.automaton.forced_next[prev_token] >= 0
                 force = jnp.logical_and(step == cfg.force_boi_at,
@@ -371,7 +397,7 @@ class StoryGenerator:
         llm_cfg = self.agent.cfg.llm
 
         def impl_fresh_cache(params, input_ids, prompt_len, image_embeds,
-                             embeds_cmp_mask, ids_cmp_mask):
+                             embeds_cmp_mask, ids_cmp_mask, seed):
             # size the fresh cache to THIS bucket (static at trace time):
             # decode attention reads the whole capacity buffer every token,
             # so a short early-story prompt should not pay for the
@@ -386,7 +412,7 @@ class StoryGenerator:
             )
             return self._generate_impl(
                 params, input_ids, prompt_len, image_embeds,
-                embeds_cmp_mask, ids_cmp_mask, cache,
+                embeds_cmp_mask, ids_cmp_mask, seed, cache,
             )
 
         return impl_fresh_cache
@@ -396,12 +422,12 @@ class StoryGenerator:
         if key not in self._compiled:
             impl = self._impl_entry()
             takes_cache = self.cfg.return_cache
-            donate = (6,) if takes_cache else ()
+            donate = (7,) if takes_cache else ()
             if self._param_sharding is not None:
                 from jax.sharding import NamedSharding, PartitionSpec as P
 
                 rep = NamedSharding(self.mesh, P())
-                in_shardings = (self._param_sharding,) + (rep,) * 5
+                in_shardings = (self._param_sharding,) + (rep,) * 6
                 if takes_cache:
                     # KV heads shard along the model axis when divisible
                     llm_cfg = self.agent.cfg.llm
@@ -450,6 +476,7 @@ class StoryGenerator:
         embeds_cmp_mask,  # (N,) bool
         ids_cmp_mask: np.ndarray,  # (P,) bool
         cache: Optional[KVCache] = None,
+        seed: int = 0,  # sampling stream when cfg.temperature > 0
     ):
         """Pads the prompt to a bucket, runs the on-device program, returns
         host-side results (+ the updated cache for sink reuse)."""
@@ -477,6 +504,7 @@ class StoryGenerator:
             jnp.asarray(image_embeds),
             jnp.asarray(embeds_cmp_mask),
             jnp.asarray(cmp_pad),
+            jnp.int32(seed),
         ]
         if cfg.return_cache:
             if cache is None:
@@ -500,7 +528,7 @@ class StoryGenerator:
             "num_generated": n,
         }
 
-    def generate_batch(self, stories):
+    def generate_batch(self, stories, seed: int = 0):
         """Run B independent stories in lockstep through ONE on-device
         program — B=1 decode is HBM-bound on parameter bytes, so the B
         stories ride the same per-token parameter stream (the serving-path
@@ -549,6 +577,7 @@ class StoryGenerator:
             image_embeds,
             jnp.asarray(embeds_cmp_mask),
             jnp.asarray(cmp_mask),
+            jnp.int32(seed),
         )
         results = []
         nums = np.asarray(out["num_generated"])

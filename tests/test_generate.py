@@ -116,6 +116,39 @@ def test_generate_deterministic_and_bucket_invariant():
     )
 
 
+def test_sampling_temperature_top_p():
+    """temperature/top_p sampling: seed-deterministic, seed-sensitive, and
+    the forced image-token chain survives sampling."""
+    from seed_story_tpu.decode.generate import top_p_filter
+
+    # nucleus filter math: keep smallest prefix reaching the mass
+    logits = jnp.log(jnp.asarray([[0.5, 0.3, 0.15, 0.05]]))
+    kept = np.asarray(top_p_filter(logits, 0.75))
+    assert np.isfinite(kept[0, :2]).all() and not np.isfinite(kept[0, 2:]).any()
+    kept = np.asarray(top_p_filter(logits, 0.95))
+    assert np.isfinite(kept[0, :3]).all() and not np.isfinite(kept[0, 3]).any()
+
+    gen, prompt, ids_cmp, image_embeds, embeds_cmp = _mk_generator()
+    gen.cfg.temperature = 0.9
+    gen.cfg.top_p = 0.9
+    gen._compiled.clear()
+    a1 = gen.generate(np.array(prompt), image_embeds, embeds_cmp, ids_cmp,
+                      seed=7)
+    a2 = gen.generate(np.array(prompt), image_embeds, embeds_cmp, ids_cmp,
+                      seed=7)
+    b1 = gen.generate(np.array(prompt), image_embeds, embeds_cmp, ids_cmp,
+                      seed=8)
+    np.testing.assert_array_equal(a1["generate_ids"], a2["generate_ids"])
+    assert not np.array_equal(a1["generate_ids"], b1["generate_ids"])
+    # prompt ends with <img>: the forced 9-token chain + </img> must still
+    # open the output under sampling
+    want = [FIRST_IMG_TOKEN_ID + i for i in range(9)] + [EOI_TOKEN_ID]
+    assert list(a1["generate_ids"][:10]) == want
+    assert list(b1["generate_ids"][:10]) == want
+    gen.cfg.temperature = 0.0
+    gen.cfg.top_p = 1.0
+
+
 def test_speculative_decode_matches_greedy():
     """Prompt-lookup speculative decoding must be BYTE-IDENTICAL to plain
     greedy decode — tokens, num_generated, has_img, features. The prompt
