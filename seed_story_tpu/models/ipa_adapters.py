@@ -122,6 +122,15 @@ class IPAdapterSD(nn.Module):
         )
         return {"total_loss": loss, "noise_pred": noise_pred}
 
+    def encode_image_embeds(self, image_embeds):
+        """image embeds -> ``num_image_tokens`` prompt tokens (reference
+        IPAdapterSD.encode_image_embeds, adapter_modules.py:60-66)."""
+        return self.image_proj_model(image_embeds)
+
+    def denoise(self, noisy_latents, timesteps, context):
+        """One eps prediction with a prebuilt [text; image] context."""
+        return self.unet(noisy_latents, timesteps, context)
+
 
 @dataclasses.dataclass(frozen=True)
 class EditAdapterConfig:

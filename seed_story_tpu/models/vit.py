@@ -170,3 +170,38 @@ class VisionTransformerWithAttnPool(nn.Module):
             cfg.param_dtype,
         )
         return x @ proj.astype(cfg.dtype)
+
+
+class VisionTransformer(nn.Module):
+    """No-pool variant (reference qwen_visual.py:425-490): patchify +
+    pos-emb + ln_pre + the transformer stack, returning the full
+    (N, grid*grid, width) token features — no attn_pool/ln_post/proj.
+    Shares module names with VisionTransformerWithAttnPool so the same
+    converted checkpoints load (strict=False drops the pool tensors)."""
+
+    cfg: ViTConfig
+
+    @nn.compact
+    def __call__(self, pixels: jax.Array) -> jax.Array:
+        cfg = self.cfg
+        n = pixels.shape[0]
+        x = pixels.astype(cfg.dtype).transpose(0, 2, 3, 1)  # NHWC
+        x = nn.Conv(
+            cfg.width, kernel_size=(cfg.patch_size, cfg.patch_size),
+            strides=(cfg.patch_size, cfg.patch_size), use_bias=False,
+            dtype=cfg.dtype, param_dtype=cfg.param_dtype, name="conv1",
+        )(x)
+        ntok = x.shape[1] * x.shape[2]
+        x = x.reshape(n, ntok, cfg.width)
+        pos = self.param(
+            "positional_embedding",
+            nn.initializers.normal(stddev=cfg.width**-0.5),
+            (256, cfg.width),
+            cfg.param_dtype,
+        )
+        x = x + interpolate_abs_pos(pos.astype(cfg.dtype), ntok)[None]
+        x = nn.LayerNorm(epsilon=cfg.ln_eps, dtype=cfg.dtype,
+                         param_dtype=cfg.param_dtype, name="ln_pre")(x)
+        for i in range(cfg.layers):
+            x = VisualBlock(cfg, name=f"blocks_{i}")(x)
+        return x

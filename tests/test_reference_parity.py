@@ -287,3 +287,32 @@ def test_agent_continuous_lvlm_golden(ref_path):
     recon = np.asarray(out["recon_image_embeds"])[embeds_gen]
     np.testing.assert_allclose(
         recon, ref_out["recon_image_embeds"].numpy(), atol=2e-4, rtol=1e-3)
+
+
+def test_vit_nopool_golden(ref_path):
+    """The no-attn-pool VisionTransformer variant (qwen_visual.py:425-490):
+    full token features match the reference on identical weights."""
+    from src.models.qwen_visual import VisionTransformer as RefViT
+
+    from seed_story_tpu.models.vit import ViTConfig, VisionTransformer
+    from seed_story_tpu.tools.convert_torch_weights import convert_qwen_vit
+
+    torch.manual_seed(4)
+    kw = dict(image_size=224, patch_size=14, width=64, layers=2, heads=4,
+              mlp_ratio=4.0, n_queries=16, output_dim=128)
+    ref = RefViT(**kw).eval()
+    x = torch.randn(2, 3, 224, 224)
+    with torch.no_grad():
+        ref_out = ref(x).numpy()
+
+    params, missing, unexpected = convert_qwen_vit(
+        {k: v for k, v in ref.state_dict().items()}, layers=2
+    )
+    assert not unexpected, unexpected
+    # the no-pool checkpoint legitimately lacks the pool head
+    assert all(("attn_pool" in m or "ln_post" in m or "proj" in m)
+               for m in missing), missing
+
+    ours = VisionTransformer(ViTConfig(dtype=jnp.float32, **kw))
+    out = ours.apply({"params": params}, jnp.asarray(x.numpy()))
+    np.testing.assert_allclose(np.asarray(out), ref_out, atol=2e-4, rtol=1e-3)
