@@ -119,6 +119,7 @@ est = (
     5 * t_res[(128, 320)] + 5 * t_res[(64, 640)] + 9 * t_res[(32, 1280)]
     + 5 * 2 * t_blk[(4096, 640)] + 6 * 10 * t_blk[(1024, 1280)]
 )
-print(f"\nimplied UNet eval from parts (concat-chan resnets approximated "
-      f"as same-chan): {est*1e3:.0f} ms -> x100 evals = {est*100:.1f} s "
-      f"of the measured ~6.9 s sample", flush=True)
+print(f"\nimplied UNet eval from parts (B=2 CFG pair; concat-chan "
+      f"resnets approximated as same-chan): {est*1e3:.0f} ms -> x50 steps "
+      f"= {est*50:.1f} s of the measured ~6.9 s sample (rest: "
+      f"up/downsamples, conv_in/out, VAE decode)", flush=True)

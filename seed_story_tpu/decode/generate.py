@@ -288,8 +288,6 @@ class StoryGenerator:
         cfg = self.cfg
         K = cfg.speculate_k
         b, max_new = tokens_buf.shape
-        d = hidden_buf.shape[-1]
-
         # K+1 slack: commit blocks are written as static K+1 slices; the
         # tail garbage is either overwritten by the next pass or masked out
         tokens_buf = jnp.pad(tokens_buf, ((0, 0), (0, K + 1)))
