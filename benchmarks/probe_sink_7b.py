@@ -1,0 +1,87 @@
+"""Attention-sink long-story visualization at 7B on the real chip.
+
+Drives StoryVisualizationPipeline (ground-truth texts, generated image
+features, cache threading + sink evictions) for a story long enough to
+trigger multiple evictions — the vis_george_sink flow at flagship scale.
+"""
+import sys; sys.path.insert(0, "/root/repo")
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+import flax.linen as nn
+
+from seed_story_tpu.data.tokenizer import TinyTokenizer
+from seed_story_tpu.decode.generate import GenerateConfig, StoryGenerator
+from seed_story_tpu.models.agent import AgentConfig, ContinuousLVLM
+from seed_story_tpu.models.llama import LlamaConfig
+from seed_story_tpu.pipelines.story_visualization import (
+    StoryVisualizationPipeline,
+    VisPipelineConfig,
+)
+
+SEGMENTS, WINDOW, MAX_NEW = 12, 4, 200
+
+acfg = AgentConfig(llm=LlamaConfig(
+    dtype=jnp.bfloat16, param_dtype=jnp.bfloat16, lora_rank=16,
+    quantize_base=True, quantize_kv=True,
+))
+agent = ContinuousLVLM(acfg)
+seq = 64
+init_args = dict(
+    input_ids=jnp.ones((1, seq), jnp.int32),
+    attention_mask=jnp.ones((1, seq), jnp.int32),
+    labels=jnp.zeros((1, seq), jnp.int32),
+    image_embeds=jnp.zeros((1, acfg.num_vit_tokens, acfg.vit_dim)),
+    embeds_gen_mask=jnp.ones((1,), bool),
+    embeds_cmp_mask=jnp.ones((1,), bool),
+    ids_gen_mask=jnp.zeros((1, seq), bool).at[0, 10:10 + acfg.num_img_out_tokens].set(True),
+    ids_cmp_mask=jnp.zeros((1, seq), bool).at[0, 40:40 + acfg.num_img_in_tokens].set(True),
+)
+t0 = time.time()
+params = nn.meta.unbox(jax.jit(
+    lambda: agent.init(jax.random.PRNGKey(0), **init_args)["params"]
+)())
+jax.block_until_ready(params)
+print("7B init:", round(time.time() - t0, 1), "s", flush=True)
+
+tok = TinyTokenizer()
+gcfg = GenerateConfig(
+    max_new_tokens=MAX_NEW, num_img_gen_tokens=acfg.num_img_out_tokens,
+    cache_capacity=2048, prompt_bucket=128,
+    force_boi_at=MAX_NEW - acfg.num_img_out_tokens - 8,
+    max_context_images=WINDOW, return_cache=True,
+)
+gen = StoryGenerator(agent, params, gcfg)
+rng = np.random.RandomState(0)
+
+
+def visual_encode(pixels):
+    return rng.randn(1, acfg.num_vit_tokens, acfg.vit_dim).astype(np.float32)
+
+
+texts = [f"then george visited place number {i} in the city" for i in range(SEGMENTS + 1)]
+
+
+def run():
+    pipe = StoryVisualizationPipeline(
+        tok, gen, visual_encode, None,
+        VisPipelineConfig(story_len=SEGMENTS + 1, window_size=WINDOW,
+                          num_img_in_tokens=acfg.num_img_in_tokens),
+    )
+    return list(pipe.run(np.zeros((1, 3, 8, 8), np.float32),
+                         "george the monkey in the big city", texts))
+
+
+segs = run()  # warmup/compile
+t0 = time.perf_counter()
+segs = run()
+dt = time.perf_counter() - t0
+evictions = max(0, len(segs) - WINDOW)
+print(f"sink story: {len(segs)} segments ({evictions}+ evictions, window-{WINDOW}) "
+      f"in {dt:.1f} s -> {dt/len(segs):.2f} s/segment; "
+      f"context tokens at end: {segs[-1].context_tokens}", flush=True)
+assert all(s.image_features is not None for s in segs)
