@@ -119,6 +119,43 @@ def test_cache_decode_matches_full_forward(model_and_params):
     assert int(out3["cache"].length[0]) == 10
 
 
+def test_cache_small_q_ragged_rows(model_and_params):
+    """The small-q (s<=8) cached path with PER-ROW seq_lengths: rows with
+    fewer valid new tokens than the padded block stay causally exact."""
+    model, params = model_and_params
+    ids = jnp.asarray(
+        np.random.RandomState(3).randint(5, 30000, (2, 10)), jnp.int32
+    )
+    full = model.apply({"params": params}, ids)["logits"]
+
+    cache = KVCache.create(CFG, batch=2, capacity=32, dtype=jnp.float32)
+    # row 0 prefills 4 valid tokens, row 1 prefills 6, padded block s=6
+    lens0 = jnp.asarray([4, 6], jnp.int32)
+    out1 = model.apply({"params": params}, ids[:, :6], cache=cache,
+                       seq_lengths=lens0)
+    np.testing.assert_array_equal(np.asarray(out1["cache"].length), [4, 6])
+    # continue row 0 with tokens 4..9 (6 more), row 1 with 6..9 (4 more),
+    # again as one padded s=6 block aligned at each row's fill level
+    cont = np.zeros((2, 6), np.int32)
+    cont[0] = np.asarray(ids[0, 4:10])
+    cont[1, :4] = np.asarray(ids[1, 6:10])
+    out2 = model.apply({"params": params}, jnp.asarray(cont),
+                       cache=out1["cache"],
+                       seq_lengths=jnp.asarray([6, 4], jnp.int32))
+    np.testing.assert_array_equal(np.asarray(out2["cache"].length), [10, 10])
+
+    # row 0: full-forward logits 4..9 == continuation logits 0..5
+    np.testing.assert_allclose(
+        np.asarray(out2["logits"][0, :6]), np.asarray(full[0, 4:10]),
+        rtol=2e-4, atol=2e-4,
+    )
+    # row 1: full-forward logits 6..9 == continuation logits 0..3
+    np.testing.assert_allclose(
+        np.asarray(out2["logits"][1, :4]), np.asarray(full[1, 6:10]),
+        rtol=2e-4, atol=2e-4,
+    )
+
+
 def test_inputs_embeds_path(model_and_params):
     """Agent scatters into embeddings then calls with inputs_embeds
     (reference models.py:36,62)."""
