@@ -69,6 +69,11 @@ class GenerateConfig:
     # verbatim, so image blocks stream at up to K+1 tokens/pass). Output
     # is EXACTLY the plain greedy output (verified token by token).
     speculate_k: int = 0
+    # NOTE: K+1 verify queries must stay on the small-q cached-attention
+    # path (models/llama.py decode_attention handles s <= 8 without
+    # dequantizing the KV cache); K > 7 would silently fall back to the
+    # cache-copying mha branch and defeat the latency win — rejected at
+    # construction (see __post_init__).
     # When False the on-device program does not return the updated KV cache
     # (the gen_george story flow re-prefills the full prompt each segment and
     # never reads it back); combined with the always-on cache donation this
@@ -76,6 +81,16 @@ class GenerateConfig:
     # story bench would otherwise OOM a 16GB chip. Keep True for the sink
     # pipeline, which threads the cache across turns.
     return_cache: bool = True
+
+    def __post_init__(self):
+        if self.speculate_k > 7:
+            raise ValueError(
+                f"speculate_k={self.speculate_k}: K+1 verify queries must "
+                "stay <= 8 to ride the small-q cached-attention path "
+                "(models/llama.py decode_attention); larger K would fall "
+                "back to the cache-dequantizing mha branch and lose the "
+                "latency win. Use speculate_k <= 7."
+            )
 
 
 class StoryGenerator:
@@ -277,7 +292,12 @@ class StoryGenerator:
         Each pass feeds ``[t_prev, d_0..d_{K-1}]`` (K+1 tokens) through the
         small-q cache path and commits the longest verified prefix plus one
         bonus token — byte-identical output to the plain loop, pinned by
-        ``test_speculative_decode_matches_greedy``. The per-row KV-cache
+        ``test_speculative_decode_matches_greedy``. (Byte-identity holds at
+        matched arithmetic; on TPU bf16 the K+1-query pass may round logits
+        differently than the 1-query pass, so near-TIED logits — common
+        with random weights, rare with trained ones — can resolve to a
+        different equally-ranked token. Verified on-chip: at a divergence
+        the f32 replay showed a top-2 gap below one bf16 quantum.) The per-row KV-cache
         ``length`` makes draft rollback free: rejected entries sit beyond
         ``length`` (masked) and the next pass's insert overwrites them.
         Worst case (no accepts) each pass still commits one token for about
@@ -402,8 +422,16 @@ class StoryGenerator:
             # worst-case capacity — at 7B a 2944-slot cache is ~3.1GB of
             # reads/token vs ~1.4GB for a 1280-slot one.
             bucket = input_ids.shape[1]
-            need = bucket + self.cfg.max_new_tokens
-            capacity = min(self.cfg.cache_capacity, ((need + 127) // 128) * 128)
+            # speculative mode writes a K+1-token verify block whose last
+            # entries can land past prompt+max_new-1 (the bonus token of the
+            # final pass): without the extra K+1 slots the
+            # dynamic_update_slice start would clamp and overwrite committed
+            # KV entries near max_new, corrupting verification.
+            slack = self.cfg.speculate_k + 1 if self.cfg.speculate_k > 0 else 0
+            need = bucket + self.cfg.max_new_tokens + slack
+            capacity = ((need + 127) // 128) * 128
+            if self.cfg.speculate_k == 0:
+                capacity = min(self.cfg.cache_capacity, capacity)
             cache = KVCache.create(
                 llm_cfg, batch=input_ids.shape[0], capacity=capacity,
                 dtype=llm_cfg.dtype,

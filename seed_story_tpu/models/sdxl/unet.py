@@ -197,7 +197,10 @@ class FeedForwardGEGLU(nn.Module):
         h = nn.Dense(inner * 2, dtype=self.dtype, param_dtype=self.param_dtype,
                      kernel_init=_init(("embed_kv", "mlp")), name="net_0_proj")(x)
         h, gate = jnp.split(h, 2, axis=-1)
-        h = h * nn.gelu(gate)
+        # diffusers GEGLU calls F.gelu (exact erf); jax's default tanh
+        # approximation diverges by up to ~1e-3 near |x|=2 — across 50 UNet
+        # evals that compounds, so match the exact form
+        h = h * nn.gelu(gate, approximate=False)
         return nn.Dense(self.dim, dtype=self.dtype, param_dtype=self.param_dtype,
                         kernel_init=_init(("mlp", "embed_kv")), name="net_2")(h)
 

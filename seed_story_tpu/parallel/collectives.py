@@ -63,8 +63,13 @@ def initialize_multihost(coordinator_address=None, num_processes=None,
                 jax.distributed.initialize(
                     addr, num_processes=num_processes, process_id=process_id
                 )
-        except RuntimeError:
-            pass  # already initialized
+        except RuntimeError as e:
+            # Only the double-init case is benign. A genuine failure
+            # (unreachable coordinator, bad NUM_PROCESSES/PROCESS_ID) must
+            # fail fast: silently degrading to single-process mode would
+            # desync a real multi-host launch instead of aborting it.
+            if "already initialized" not in str(e).lower():
+                raise
     return jax.process_index(), jax.process_count()
 
 

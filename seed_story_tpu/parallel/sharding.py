@@ -23,11 +23,14 @@ Presets:
 
 from __future__ import annotations
 
+import logging
 from typing import Optional, Sequence, Tuple
 
 import jax
 from flax import linen as nn
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+logger = logging.getLogger(__name__)
 
 Rules = Sequence[Tuple[str, Optional[str]]]
 
@@ -79,7 +82,7 @@ def logical_to_sharding(tree, mesh: Mesh, rules: Rules):
     """
     shardings = nn.logical_to_mesh_sharding(nn.get_partition_spec(tree), mesh, rules)
 
-    def fix(leaf, sharding):
+    def fix(path, leaf, sharding):
         if not hasattr(leaf, "shape") or not isinstance(sharding, NamedSharding):
             return sharding
         spec = list(sharding.spec)
@@ -93,6 +96,14 @@ def logical_to_sharding(tree, mesh: Mesh, rules: Rules):
             for nme in names:
                 size *= mesh.shape[nme]
             if leaf.shape[i] % size != 0:
+                # Loud: a silently replicated 7B vocab/mlp dim is an OOM or
+                # a slow run the user cannot diagnose from behavior alone.
+                logger.warning(
+                    "sharding fallback: %s dim %d (size %d) does not divide "
+                    "mesh axis %s (size %d) — replicating that dim",
+                    jax.tree_util.keystr(path), i, leaf.shape[i],
+                    "*".join(names), size,
+                )
                 spec[i] = None
                 changed = True
         if not changed:
@@ -100,7 +111,7 @@ def logical_to_sharding(tree, mesh: Mesh, rules: Rules):
         return NamedSharding(mesh, P(*spec))
 
     leaves = jax.tree_util.tree_map(lambda x: x, tree)
-    return jax.tree_util.tree_map(fix, nn.meta.unbox(leaves), shardings)
+    return jax.tree_util.tree_map_with_path(fix, nn.meta.unbox(leaves), shardings)
 
 
 def params_sharding(abstract_params, mesh: Mesh, rules: Rules):

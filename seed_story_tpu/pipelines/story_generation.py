@@ -124,6 +124,13 @@ class StoryGenerationPipeline:
             )
             text = self._clean(out["generate_ids"])
 
+        if not out["has_img_output"]:
+            # closing text-only segment: the reference writes EVERY
+            # generate's text to text.txt before re-checking has_img_output
+            # (gen_george.py:264-268), so the text that ends the story is
+            # part of the output (mirrors run_batch's final_text handling)
+            yield StorySegment(text_id, text, None, None, len(ids))
+
     # -- batched serving path -----------------------------------------
 
     def run_batch(self, seeds) -> Iterator[List[Optional[StorySegment]]]:

@@ -223,10 +223,17 @@ class Trainer:
             return grads, metrics
 
         if cfg.grad_accum_steps > 1:
-            # batch leaves are stacked (accum, micro_bs, ...): run the first
-            # microbatch to fix the metric structure, scan the rest.
+            # batch leaves are stacked (accum, micro_bs, ...): zeros-init the
+            # carry from eval_shape so ALL microbatches run inside ONE scan —
+            # unrolling the first microbatch to fix the metric structure
+            # would compile the fwd+bwd body twice (at 7B that doubles
+            # compile time and program size, the very cost scan_layers pays
+            # down).
             first = jax.tree_util.tree_map(lambda x: x[0], batch)
-            g_first, m_first = microbatch_grads(first)
+            shapes = jax.eval_shape(microbatch_grads, first)
+            carry0 = jax.tree_util.tree_map(
+                lambda s: jnp.zeros(s.shape, s.dtype), shapes
+            )
 
             def scan_body(carry, micro):
                 g_acc, m_acc = carry
@@ -236,8 +243,7 @@ class Trainer:
                     jax.tree_util.tree_map(jnp.add, m_acc, m),
                 ), None
 
-            rest = jax.tree_util.tree_map(lambda x: x[1:], batch)
-            (g_sum, m_sum), _ = jax.lax.scan(scan_body, (g_first, m_first), rest)
+            (g_sum, m_sum), _ = jax.lax.scan(scan_body, carry0, batch)
             grads = jax.tree_util.tree_map(lambda g: g / cfg.grad_accum_steps, g_sum)
             metrics = jax.tree_util.tree_map(lambda m: m / cfg.grad_accum_steps, m_sum)
         else:
