@@ -113,22 +113,32 @@ def convert_qwen_vit(sd: StateDict, layers: int = 48):
 
 
 def convert_llama(sd: StateDict, num_layers: int = 32,
-                  vocab_padded: int = 32128):
+                  vocab_padded: int = 32128, added_tokens=None):
     """HF LlamaForCausalLM state dict -> our LlamaForCausalLM params.
     Handles PEFT-wrapped keys (base_model.model. prefix, lora_A/B,
-    modules_to_save) transparently."""
-    # normalize PEFT prefixes
+    modules_to_save incl. the redundant original_module copies)
+    transparently. ``added_tokens`` ({token: released_id}, the released
+    tokenizer's added_tokens.json) reorders embed/lm_head rows from a
+    shuffled released added-token order to the canonical 32000+ layout."""
+    # normalize PEFT prefixes; drop the frozen original_module duplicates
+    # that PEFT keeps alongside every modules_to_save trained copy
     norm_sd: StateDict = {}
     for k, v in sd.items():
+        if ".original_module." in k:
+            continue
         k = k.replace("base_model.model.", "")
+        k = k.replace(".base_layer.weight", ".weight")  # peft >= 0.7 wrapping
         k = k.replace(".default.weight", ".weight")  # lora_A.default.weight
         k = k.replace(".modules_to_save.weight", ".weight")
         # modules_to_save duplicates originals; prefer the trained copy
         norm_sd[k] = v
     b = _Builder(norm_sd)
+    perm = added_token_permutation(added_tokens) if added_tokens else None
 
     def pad_vocab(w):
         w = np.asarray(w)
+        if perm is not None and w.shape[0] >= perm.shape[0]:
+            w = remap_embedding_rows(w, perm)
         if w.shape[0] < vocab_padded:
             w = np.concatenate(
                 [w, np.zeros((vocab_padded - w.shape[0],) + w.shape[1:], w.dtype)]
@@ -182,14 +192,17 @@ def convert_qwen_resampler(sd: StateDict, prefix: str = ""):
     return b.done()
 
 
-def convert_agent(sd: StateDict, num_layers: int = 32):
-    """SEED agent bin: llm.* (PEFT LLaMA) + input/output_resampler.*."""
+def convert_agent(sd: StateDict, num_layers: int = 32, added_tokens=None):
+    """SEED agent bin (the consolidated ``pytorch_model.bin`` the README
+    points stage 3 at, README.md:120-128): llm.* (PEFT LLaMA) +
+    input/output_resampler.*."""
     out: Dict = {}
     missing: List[str] = []
     unexpected: List[str] = []
     llm_sd = {k[len("llm."):]: v for k, v in sd.items() if k.startswith("llm.")}
     if llm_sd:
-        p, m, u = convert_llama(llm_sd, num_layers=num_layers)
+        p, m, u = convert_llama(llm_sd, num_layers=num_layers,
+                                added_tokens=added_tokens)
         out["llm"] = p
         missing += [f"llm.{k}" for k in m]
         unexpected += [f"llm.{k}" for k in u]
@@ -283,14 +296,10 @@ def convert_sdxl_vae(sd: StateDict):
     return _convert_diffusers(sd, path_fixup=fixup)
 
 
-def convert_detokenizer(sd: StateDict):
-    """SDXLAdapter bin (reference detokenizer checkpoints): resampler.* +
-    unet.* -> {'resampler': ..., 'unet': ...}."""
-    out: Dict = {}
-    unet_sd = {k[len("unet."):]: v for k, v in sd.items() if k.startswith("unet.")}
-    if unet_sd:
-        out["unet"], _, _ = convert_sdxl_unet(unet_sd)
-
+def convert_ipa_resampler(sd: StateDict) -> Dict:
+    """open-flamingo-style perceiver Resampler state dict (the
+    models_ipa/resampler.py families: the detokenizer's ResamplerXL(V2)
+    and the IP-Adapter's image_proj_model) -> our ipa_resampler params."""
     res: Dict = {}
 
     def put(path, value):
@@ -300,11 +309,8 @@ def convert_detokenizer(sd: StateDict):
             node = node.setdefault(p, {})
         node[parts[-1]] = value
 
-    for key, v in sd.items():
-        if not key.startswith("resampler."):
-            continue
+    for k, v in sd.items():
         v = np.asarray(v)
-        k = key[len("resampler."):]
         m = re.match(r"layers\.(\d+)\.(\d+)\.(.*)", k)
         if m:
             i, which, rest = int(m.group(1)), int(m.group(2)), m.group(3)
@@ -330,8 +336,9 @@ def convert_detokenizer(sd: StateDict):
             continue
         if k == "latents":
             put("latents", v)
-        elif k.startswith("proj_in."):
-            put("proj_in/kernel" if k.endswith("weight") else "proj_in/bias",
+        elif k.startswith(("proj_in.", "proj_out.")):
+            name = k.split(".")[0]
+            put(f"{name}/kernel" if k.endswith("weight") else f"{name}/bias",
                 _t(v) if k.endswith("weight") else v)
         elif k.startswith("norm_out."):
             put("norm_out/scale" if k.endswith("weight") else "norm_out/bias", v)
@@ -348,9 +355,127 @@ def convert_detokenizer(sd: StateDict):
                 put(f"unet_attnpool/attn/{name}/" +
                     ("kernel" if leaf == "weight" else "bias"),
                     _t(v) if leaf == "weight" else v)
+    return res
+
+
+def convert_detokenizer(sd: StateDict):
+    """SDXLAdapter bin (reference detokenizer checkpoints): resampler.* +
+    unet.* -> {'resampler': ..., 'unet': ...}."""
+    out: Dict = {}
+    unet_sd = {k[len("unet."):]: v for k, v in sd.items() if k.startswith("unet.")}
+    if unet_sd:
+        out["unet"], _, _ = convert_sdxl_unet(unet_sd)
+    res = convert_ipa_resampler(
+        {k[len("resampler."):]: v for k, v in sd.items()
+         if k.startswith("resampler.")}
+    )
     if res:
         out["resampler"] = res
     return out, [], []
+
+
+# ---------------------------------------------------------------------
+# Released legacy layouts
+# ---------------------------------------------------------------------
+
+
+def remap_stage1_yuying(sd: StateDict) -> StateDict:
+    """Legacy BLIP2-style stage-1 checkpoint -> the canonical reference
+    discrete-model layout (the key remap of
+    /root/reference/src/models/discrete_models.py:427-454,
+    ``from_pretrained_stage1_yuying``): the bin is ``{'model': {...}}``
+    with ``query_tokens`` / ``ln_vision.*`` / ``Qformer.*`` keys."""
+    if "model" in sd and not any("." in k for k in sd if k == "model"):
+        inner = sd["model"]
+        if isinstance(inner, dict):
+            sd = inner
+    out: StateDict = {}
+    if "query_tokens" in sd:
+        out["qformer.embed_module.query"] = np.squeeze(
+            np.asarray(sd["query_tokens"]), axis=0
+        )
+    if "ln_vision.weight" in sd:
+        out["qformer.norm.weight"] = np.asarray(sd["ln_vision.weight"])
+    if "ln_vision.bias" in sd:
+        out["qformer.norm.bias"] = np.asarray(sd["ln_vision.bias"])
+    for key, v in sd.items():
+        if key.startswith("Qformer"):
+            out[key.replace("Qformer", "qformer.perceiver")] = np.asarray(v)
+    return out
+
+
+def split_ip_adapter_legacy(sd: StateDict) -> Tuple[StateDict, StateDict]:
+    """Legacy IP-Adapter bin -> (image_proj sd, ip_layers sd) — the split
+    of /root/reference/src/models_ipa/adapter_modules.py:116-137
+    (``from_pretrained_legacy``): ``image_proj_model.*`` keys feed the
+    perceiver resampler, ``adapter_modules.*`` keys feed the decoupled
+    to_k_ip/to_v_ip attention layers."""
+    image_proj: StateDict = {}
+    ip_layers: StateDict = {}
+    for key, v in sd.items():
+        if key.startswith("image_proj_model."):
+            image_proj[key[len("image_proj_model."):]] = v
+        elif key.startswith("adapter_modules."):
+            ip_layers[key[len("adapter_modules."):]] = v
+    return image_proj, ip_layers
+
+
+def convert_ip_adapter_legacy(sd: StateDict):
+    """Legacy IP-Adapter bin -> {'image_proj_model': ..., 'ip_layers':
+    {'layers_<i>': {'to_k_ip'/'to_v_ip': {'kernel': ...}}}} in our
+    IPCrossAttention naming. Returns (params, missing, unexpected)."""
+    proj_sd, ip_sd = split_ip_adapter_legacy(sd)
+    out: Dict = {}
+    unexpected: List[str] = []
+    if proj_sd:
+        out["image_proj_model"] = convert_ipa_resampler(proj_sd)
+    layers: Dict = {}
+    for key, v in ip_sd.items():
+        m = re.fullmatch(r"(\d+)\.(to_[kv]_ip)\.weight", key)
+        if m is None:
+            unexpected.append(f"adapter_modules.{key}")
+            continue
+        layers.setdefault(f"layers_{int(m.group(1))}", {})[m.group(2)] = {
+            "kernel": _t(np.asarray(v))
+        }
+    if layers:
+        out["ip_layers"] = layers
+    return out, [], unexpected
+
+
+def added_token_permutation(added_tokens: Dict[str, int]) -> np.ndarray:
+    """Row permutation fixing a released tokenizer whose ADDED tokens were
+    saved in a different order than the canonical layout (module docstring
+    of data/tokenizer.py): returns ``perm`` with ``perm[canonical_id] =
+    released_id`` over the full 32066 vocab, identity on the base 32000.
+    Apply to embeddings/lm_head rows: ``w_canonical = w_released[perm]``.
+
+    ``added_tokens`` is the released added_tokens.json mapping
+    {token: released_id}; must cover exactly the 66 multimodal tokens."""
+    from ..data.tokenizer import LLAMA_VOCAB_SIZE, special_tokens
+
+    specials = special_tokens()
+    if sorted(added_tokens) != sorted(specials):
+        extra = sorted(set(added_tokens) - set(specials))
+        miss = sorted(set(specials) - set(added_tokens))
+        raise ValueError(
+            f"added-token set mismatch: unexpected {extra}, missing {miss}"
+        )
+    perm = np.arange(LLAMA_VOCAB_SIZE + len(specials))
+    for i, tok in enumerate(specials):
+        perm[LLAMA_VOCAB_SIZE + i] = added_tokens[tok]
+    return perm
+
+
+def remap_embedding_rows(w: Array, perm: np.ndarray) -> Array:
+    """Reorder vocab rows (embed_tokens / lm_head pre-transpose) from the
+    released added-token order to the canonical layout. Rows past the true
+    vocab (padding to vocab_padded) are untouched."""
+    w = np.asarray(w)
+    out = w.copy()
+    n = perm.shape[0]
+    out[:n] = w[perm]
+    return out
 
 
 # ---------------------------------------------------------------------
