@@ -45,13 +45,29 @@ def image_comprehension_string(num_tokens: int = NUM_IMG_TOKENS) -> str:
 
 
 def load_llama_tokenizer(pretrained_model_name_or_path: str):
-    """HF LlamaTokenizer with the 66 multimodal tokens appended.
+    """HF LLaMA tokenizer with the 66 multimodal tokens appended.
 
-    Equivalent of the reference's saved 'cvlm_llama2_tokenizer'.
+    Equivalent of the reference's saved 'cvlm_llama2_tokenizer'. Loads the
+    fast (tokenizer.json) implementation when the asset ships one —
+    sentencepiece-free — and falls back to the slow sentencepiece
+    LlamaTokenizer otherwise. NOTE: the canonical id layout assumes the
+    added tokens land at 32000+ in ``special_tokens()`` order; a released
+    tokenizer with a different added-token order must go through
+    ``tools.convert_torch_weights.added_token_permutation`` when
+    converting embeddings.
     """
-    from transformers import LlamaTokenizer
+    import os
 
-    tok = LlamaTokenizer.from_pretrained(pretrained_model_name_or_path)
+    from transformers import AutoTokenizer, LlamaTokenizer
+
+    if os.path.isdir(pretrained_model_name_or_path) and os.path.exists(
+        os.path.join(pretrained_model_name_or_path, "tokenizer.json")
+    ):
+        tok = AutoTokenizer.from_pretrained(
+            pretrained_model_name_or_path, use_fast=True
+        )
+    else:
+        tok = LlamaTokenizer.from_pretrained(pretrained_model_name_or_path)
     if len(tok) < MULTIMODAL_VOCAB_SIZE:
         tok.add_tokens(special_tokens())
     assert len(tok) == MULTIMODAL_VOCAB_SIZE, len(tok)
