@@ -135,13 +135,19 @@ def build(preset: str, int8: bool = False, kv_int8: bool = False):
     return AgentConfig(llm=llm), 500
 
 
-def run_mllm_phase(preset, acfg, max_new, n_segments, window, n_stories=1):
+def run_mllm_phase(preset, acfg, max_new, n_segments, window, n_stories=1,
+                   detokenize=None):
     """Phase A: build the agent, decode warmup + n_segments story segments.
 
     ``n_stories`` > 1 runs that many independent stories in lockstep
     through one on-device program (StoryGenerator.generate_batch) — the
     serving configuration; B=1 is the latency configuration matching the
     reference's one-story-at-a-time loop.
+
+    ``detokenize`` (interleaved mode): de-tokenizer hook called INSIDE the
+    story loop per segment, exactly like the reference's
+    adapter.generate inside the loop (gen_george.py:208-224) — requires
+    the MLLM and SDXL to co-reside on the chip.
 
     Returns (timed_seconds, list_of_feature_arrays (host numpy)).
     """
@@ -225,7 +231,7 @@ def run_mllm_phase(preset, acfg, max_new, n_segments, window, n_stories=1):
 
     def mk_pipe(n_seg):
         return StoryGenerationPipeline(
-            tok, gen, visual_encode, None,
+            tok, gen, visual_encode, detokenize,
             StoryPipelineConfig(
                 story_len=n_seg + 1, window_size=window,
                 num_img_in_tokens=acfg.num_img_in_tokens,
@@ -258,11 +264,9 @@ def run_mllm_phase(preset, acfg, max_new, n_segments, window, n_stories=1):
     return dt, feats
 
 
-def run_sdxl_phase(acfg, feats, sdxl_steps):
-    """Phase B: build SDXL (bf16), de-tokenize every recorded feature.
-
-    Returns (timed_seconds, n_images).
-    """
+def build_sdxl_pipe(acfg, sdxl_steps):
+    """SDXL-base adapter + VAE (bf16) behind the jitted sampling pipeline.
+    Returns (pipe, neg_embeds)."""
     import flax.linen as nn
     import jax
     import jax.numpy as jnp
@@ -301,6 +305,15 @@ def run_sdxl_phase(acfg, feats, sdxl_steps):
     # OOM (B=4) at 1024px — the UNet is compute-saturated per sample
     # (benchmarks/probe_sdxl_batch.py)
     neg = np.zeros((1, acfg.num_vit_tokens, acfg.vit_dim), np.float32)
+    return pipe, neg
+
+
+def run_sdxl_phase(acfg, feats, sdxl_steps):
+    """Phase B: build SDXL (bf16), de-tokenize every recorded feature.
+
+    Returns (timed_seconds, n_images).
+    """
+    pipe, neg = build_sdxl_pipe(acfg, sdxl_steps)
 
     img = pipe.generate(feats[0], neg)[0]  # warmup / compile
     assert img is not None
@@ -351,16 +364,34 @@ def main():
     # the single-chip envelope caps at ~4 concurrent stories.
     n_stories = int(os.environ.get("SEED_STORY_BENCH_STORIES", "1"))
 
-    mllm_s, feats = run_mllm_phase(
-        preset, acfg, max_new, n_segments, window, n_stories
-    )
-    setup_s = time.time() - t_setup
-
     use_sdxl = (
         os.environ.get("SEED_STORY_BENCH_SDXL", "1") == "1" and preset != "pico"
     )
     sdxl_steps = int(os.environ.get("SEED_STORY_BENCH_STEPS", "50"))
-    if use_sdxl and feats:
+    # Interleaved (co-resident) mode: MLLM (int8, 6.7GB) + int8 window-8 KV
+    # (1.5GB) + SDXL bf16 (5.3GB) share the 16GB chip, and the de-tokenizer
+    # runs INSIDE the story loop per segment — the reference's actual flow
+    # (gen_george.py:208-224) and the honest per-segment latency. The
+    # two-phase default remains the bf16 / multi-story-KV envelope, where
+    # co-residency genuinely does not fit.
+    interleaved = (
+        os.environ.get("SEED_STORY_BENCH_INTERLEAVED", "0") == "1"
+        and use_sdxl and preset != "pico"
+    )
+    detok = None
+    if interleaved:
+        pipe, neg = build_sdxl_pipe(acfg, sdxl_steps)
+        detok = lambda f: pipe.generate(f, neg)[0]  # noqa: E731
+
+    mllm_s, feats = run_mllm_phase(
+        preset, acfg, max_new, n_segments, window, n_stories,
+        detokenize=detok,
+    )
+    setup_s = time.time() - t_setup
+
+    if interleaved:
+        sdxl_s, n_done = 0.0, len(feats)  # detok time already inside mllm_s
+    elif use_sdxl and feats:
         gc.collect()  # drop the 13.5GB of MLLM params before SDXL init
         sdxl_s, n_done = run_sdxl_phase(acfg, feats, sdxl_steps)
     else:
@@ -369,8 +400,10 @@ def main():
     total_s = mllm_s + sdxl_s
     segments_per_min = n_done / total_s * 60.0
 
-    detok = (f"SDXL-base 1024px {sdxl_steps}-step CFG" if use_sdxl
-             else "detok stubbed")
+    detok_desc = (f"SDXL-base 1024px {sdxl_steps}-step CFG" if use_sdxl
+                  else "detok stubbed")
+    if interleaved:
+        detok_desc += " co-resident/interleaved"
     spec = int(os.environ.get("SEED_STORY_BENCH_SPEC", "4")) if n_stories == 1 else 0
     q = ("int8-weight" + ("+kv" if kv_int8 else "")
          + (f"+speculative(k={spec})" if spec else "") + " decode")
@@ -380,7 +413,7 @@ def main():
     result = {
         "metric": f"story segments/min (text+image; {scale} MLLM, "
                   f"{max_new} new tokens/segment, window-{window}{serve}; "
-                  f"{detok}; single v5e chip; vs_baseline = ratio to A100 "
+                  f"{detok_desc}; single v5e chip; vs_baseline = ratio to A100 "
                   f"reference-stack estimate {A100_REFERENCE_SEGMENTS_PER_MIN} seg/min)",
         "value": round(segments_per_min, 2),
         "unit": "segments/min",
@@ -398,6 +431,7 @@ def main():
         json.dumps({"debug": {"segments": n_done,
                                "mllm_s": round(mllm_s, 2),
                                "sdxl_s": round(sdxl_s, 2),
+                               "interleaved": interleaved,
                                "setup_s": round(setup_s, 1),
                                "backend": jax.default_backend()}}),
         file=sys.stderr,

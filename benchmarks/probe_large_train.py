@@ -25,6 +25,9 @@ p.add_argument("--ce-chunk", type=int, default=0)
 p.add_argument("--int8", action="store_true",
                help="QLoRA-style: frozen base projections stored int8")
 p.add_argument("--steps", type=int, default=5)
+p.add_argument("--parts", action="store_true",
+               help="also time fwd-only and fwd+bwd (no optimizer) to "
+                    "locate the MFU gap")
 args = p.parse_args()
 
 import jax
@@ -120,3 +123,36 @@ with mesh:
         f"{best*1e3:.0f} ms -> {toks/best:.0f} tokens/s; "
         f"~{6*n*toks/best/1e12:.1f} TF/s model flops", flush=True,
     )
+
+    if args.parts:
+        # locate the gap: fwd-only, fwd+bwd (no opt), and the delta to the
+        # full step (= optimizer + masked-update plumbing)
+        loss_fn = make_stage2_loss_fn(agent)
+
+        t_leaves = trainer._trainable_leaves(state.params)
+
+        def fwd_only(tl, batch):
+            l, _ = loss_fn(trainer._with_trainable(state.params, tl), batch,
+                           jax.random.PRNGKey(1))
+            return l
+
+        def fwd_bwd(tl, batch):
+            (l, _), g = jax.value_and_grad(
+                lambda t: loss_fn(
+                    trainer._with_trainable(state.params, t), batch,
+                    jax.random.PRNGKey(1)), has_aux=True)(tl)
+            return l, g
+
+        for name, fn in (("fwd-only", jax.jit(fwd_only)),
+                         ("fwd+bwd ", jax.jit(fwd_bwd))):
+            out = fn(t_leaves, batch)
+            jax.block_until_ready(out)
+            bt = 1e9
+            for _ in range(args.steps):
+                t0 = time.perf_counter()
+                out = fn(t_leaves, batch)
+                jax.block_until_ready(out)
+                bt = min(bt, time.perf_counter() - t0)
+            units = 2 if name.startswith("fwd-only") else 6
+            print(f"{name}: {bt*1e3:.0f} ms  "
+                  f"({units*n*toks/bt/1e12:.1f} TF/s at {units}P)", flush=True)

@@ -227,9 +227,14 @@ def _flash_fwd_kernel(
 
     @pl.when(block_visible)
     def _compute():
-        qb = q_ref[0, 0].astype(jnp.float32) * scale
-        kb = k_ref[0, 0].astype(jnp.float32)
-        s = jax.lax.dot_general(
+        # MXU dots take the NATIVE dtype (bf16 in, f32 accumulate): f32
+        # matmul inputs run at 1/4 the bf16 MXU rate on v5e — casting up
+        # front pinned the whole kernel to the f32 roofline (~49 TF/s).
+        # Scale is applied to the f32 scores instead of bf16 q (better
+        # precision than pre-scaling in bf16).
+        qb = q_ref[0, 0]
+        kb = k_ref[0, 0]
+        s = scale * jax.lax.dot_general(
             qb,
             kb,
             (((1,), (1,)), ((), ())),
@@ -250,9 +255,9 @@ def _flash_fwd_kernel(
         alpha = jnp.exp(m_prev - m_new)
         l_new = alpha * l_ref[:] + jnp.sum(p, axis=-1, keepdims=True)
 
-        vb = v_ref[0, 0].astype(jnp.float32)
+        vb = v_ref[0, 0]
         pv = jax.lax.dot_general(
-            p,
+            p.astype(vb.dtype),  # bf16 probs on the MXU (flash-attn v2 style)
             vb,
             (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -418,8 +423,9 @@ def _flash_bwd_dq_kernel(
 
     @pl.when(visible)
     def _compute():
-        qb = q_ref[0, 0].astype(jnp.float32)
-        kb = k_ref[0, 0].astype(jnp.float32)
+        # native-dtype MXU inputs, f32 accumulation (see _flash_fwd_kernel)
+        qb = q_ref[0, 0]
+        kb = k_ref[0, 0]
         s = scale * jax.lax.dot_general(
             qb, kb, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
@@ -428,12 +434,12 @@ def _flash_bwd_dq_kernel(
             mask = jnp.logical_and(mask, k_pos <= q_start + q_pos)
         lse = lse_ref[0, 0]  # (block_q, 1)
         p = jnp.where(mask, jnp.exp(s - lse), 0.0)
-        dob = do_ref[0, 0].astype(jnp.float32)
-        vb = v_ref[0, 0].astype(jnp.float32)
+        dob = do_ref[0, 0]
+        vb = v_ref[0, 0]
         dp = jax.lax.dot_general(
             dob, vb, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
-        ds = p * (dp - delta_ref[0, 0])
+        ds = (p * (dp - delta_ref[0, 0])).astype(kb.dtype)
         dq_acc[:] += scale * jax.lax.dot_general(
             ds, kb, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )
@@ -475,8 +481,9 @@ def _flash_bwd_dkv_kernel(
 
     @pl.when(visible)
     def _compute():
-        qb = q_ref[0, 0].astype(jnp.float32)
-        kb = k_ref[0, 0].astype(jnp.float32)
+        # native-dtype MXU inputs, f32 accumulation (see _flash_fwd_kernel)
+        qb = q_ref[0, 0]
+        kb = k_ref[0, 0]
         s = scale * jax.lax.dot_general(
             qb, kb, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
@@ -487,16 +494,17 @@ def _flash_bwd_dkv_kernel(
         mask = jnp.logical_and(mask, q_pos < sq)
         lse = lse_ref[0, 0]  # (block_q, 1)
         p = jnp.where(mask, jnp.exp(s - lse), 0.0)
-        dob = do_ref[0, 0].astype(jnp.float32)
-        vb = v_ref[0, 0].astype(jnp.float32)
+        dob = do_ref[0, 0]
+        vb = v_ref[0, 0]
         # dv += P^T do
         dv_acc[:] += jax.lax.dot_general(
-            p, dob, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            p.astype(dob.dtype), dob, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32
         )
         dp = jax.lax.dot_general(
             dob, vb, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
-        ds = p * (dp - delta_ref[0, 0])
+        ds = (p * (dp - delta_ref[0, 0])).astype(qb.dtype)
         # dk += ds^T q
         dk_acc[:] += scale * jax.lax.dot_general(
             ds, qb, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32

@@ -56,20 +56,20 @@ def initialize_multihost(coordinator_address=None, num_processes=None,
             num_processes = int(os.environ["NUM_PROCESSES"])
         if process_id is None and os.environ.get("PROCESS_ID"):
             process_id = int(os.environ["PROCESS_ID"])
-        try:
+        # Only the double-init case is benign (every entry point calls this).
+        # A genuine failure (unreachable coordinator, bad NUM_PROCESSES /
+        # PROCESS_ID) must fail fast: silently degrading to single-process
+        # mode would desync a real multi-host launch instead of aborting it.
+        from jax._src.distributed import global_state as _dist_state
+
+        already = getattr(_dist_state, "client", None) is not None
+        if not already:
             if addr == "auto":
                 jax.distributed.initialize()  # TPU-pod autodetection
             else:
                 jax.distributed.initialize(
                     addr, num_processes=num_processes, process_id=process_id
                 )
-        except RuntimeError as e:
-            # Only the double-init case is benign. A genuine failure
-            # (unreachable coordinator, bad NUM_PROCESSES/PROCESS_ID) must
-            # fail fast: silently degrading to single-process mode would
-            # desync a real multi-host launch instead of aborting it.
-            if "already initialized" not in str(e).lower():
-                raise
     return jax.process_index(), jax.process_count()
 
 
