@@ -131,20 +131,24 @@ with mesh:
 
         t_leaves = trainer._trainable_leaves(state.params)
 
-        def fwd_only(tl, batch):
-            l, _ = loss_fn(trainer._with_trainable(state.params, tl), batch,
+        # params passed as ARGUMENTS (closing over state.params would bake
+        # the 6.5GB frozen base into the jaxpr as captured constants —
+        # hour-long lowering + 45GB host RSS)
+        def fwd_only(params_full, tl, batch):
+            l, _ = loss_fn(trainer._with_trainable(params_full, tl), batch,
                            jax.random.PRNGKey(1))
             return l
 
-        def fwd_bwd(tl, batch):
+        def fwd_bwd(params_full, tl, batch):
             (l, _), g = jax.value_and_grad(
                 lambda t: loss_fn(
-                    trainer._with_trainable(state.params, t), batch,
+                    trainer._with_trainable(params_full, t), batch,
                     jax.random.PRNGKey(1)), has_aux=True)(tl)
             return l, g
 
-        for name, fn in (("fwd-only", jax.jit(fwd_only)),
-                         ("fwd+bwd ", jax.jit(fwd_bwd))):
+        for name, fn0 in (("fwd-only", jax.jit(fwd_only)),
+                          ("fwd+bwd ", jax.jit(fwd_bwd))):
+            fn = lambda tl, batch: fn0(state.params, tl, batch)  # noqa: E731
             out = fn(t_leaves, batch)
             jax.block_until_ready(out)
             bt = 1e9
