@@ -5,14 +5,18 @@ gen_george.py:189-210: LLaMA-2-7B agent (bf16, LoRA r16), 500 new
 tokens/segment with forced image blocks + feature feedback + window-8
 eviction, and the full SDXL-base 1024px 50-step CFG de-tokenizer.
 
-A 16GB v5e chip cannot hold the 7B MLLM (13.5GB bf16) and SDXL (5.3GB bf16)
-at once, so the bench runs the two phases back to back: (A) decode every
-story segment with the MLLM, recording each segment's regressed image
-features (the pipeline feeds back the MLLM's OWN features, never re-encoded
-pixels — gen_george.py:209-224 — so deferring detok changes nothing), then
-(B) free the MLLM and de-tokenize every recorded feature. segments/min uses
-the summed phase times. On a v5e-8 the phases run on disjoint chips
-concurrently instead.
+Default mode is CO-RESIDENT/INTERLEAVED (round 3): int8 MLLM (6.7GB) +
+int8 window-8 KV (1.5GB) + bf16 SDXL (5.5GB) share the 16GB chip and the
+de-tokenizer runs inside the story loop per segment — the reference's
+actual flow (gen_george.py:208-224), measuring true per-segment latency.
+Two-phase fallback (SEED_STORY_BENCH_INTERLEAVED=0, and automatic for
+bf16 params or multi-story serving, whose footprints don't co-reside):
+(A) decode every segment, recording the regressed image features (the
+pipeline feeds back the MLLM's OWN features, never re-encoded pixels —
+gen_george.py:209-224 — so deferring detok changes nothing), then (B)
+free the MLLM and de-tokenize every feature; segments/min sums the phase
+times. On a v5e-8, pipelines/serving.py overlaps the stages on disjoint
+chips instead.
 
 Prints ONE JSON line:
 
@@ -215,6 +219,12 @@ def run_mllm_phase(preset, acfg, max_new, n_segments, window, n_stories=1,
     gcfg = GenerateConfig(
         max_new_tokens=max_new,
         num_img_gen_tokens=acfg.num_img_out_tokens,
+        # random weights emit EOS at the whim of the draw (any logits
+        # perturbation re-rolls it — a kernel change once cut the story to
+        # 1 segment); ban it so EVERY segment pays the full max_new-token
+        # decode + image cost. This is the conservative direction: early
+        # EOS would only make segments cheaper.
+        eos_token_id=-1,
         cache_capacity=(max_prompt + max_new + 127) // 128 * 128,
         prompt_bucket=512 if preset == "full" else 128,
         force_boi_at=max_new - acfg.num_img_out_tokens - 8,
@@ -368,15 +378,18 @@ def main():
         os.environ.get("SEED_STORY_BENCH_SDXL", "1") == "1" and preset != "pico"
     )
     sdxl_steps = int(os.environ.get("SEED_STORY_BENCH_STEPS", "50"))
-    # Interleaved (co-resident) mode: MLLM (int8, 6.7GB) + int8 window-8 KV
-    # (1.5GB) + SDXL bf16 (5.3GB) share the 16GB chip, and the de-tokenizer
-    # runs INSIDE the story loop per segment — the reference's actual flow
-    # (gen_george.py:208-224) and the honest per-segment latency. The
-    # two-phase default remains the bf16 / multi-story-KV envelope, where
-    # co-residency genuinely does not fit.
+    # Interleaved (co-resident) mode — THE DEFAULT at B=1: MLLM (int8,
+    # 6.7GB) + int8 window-8 KV (1.5GB) + SDXL bf16 (5.5GB) share the 16GB
+    # chip, and the de-tokenizer runs INSIDE the story loop per segment —
+    # the reference's actual flow (gen_george.py:208-224) and the honest
+    # per-segment latency (measured round 3: 4.88 seg/min interleaved vs
+    # 4.80 two-phase). Two-phase remains the mode for bf16 params or
+    # multi-story serving (n_stories KV caches + SDXL do not co-reside).
     interleaved = (
-        os.environ.get("SEED_STORY_BENCH_INTERLEAVED", "0") == "1"
+        os.environ.get("SEED_STORY_BENCH_INTERLEAVED",
+                       "1" if n_stories == 1 else "0") == "1"
         and use_sdxl and preset != "pico"
+        and int8 and kv_int8 and n_stories == 1
     )
     detok = None
     if interleaved:
