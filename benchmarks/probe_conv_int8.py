@@ -44,7 +44,7 @@ b16 = b8.astype(jnp.bfloat16)
 
 @jax.jit
 def gemm_bf16(a, b):
-    for _ in range(8):
+    for _ in range(64):
         a = (jnp.dot(a, b, preferred_element_type=jnp.float32) / M).astype(
             jnp.bfloat16)
     return a
@@ -53,14 +53,14 @@ def gemm_bf16(a, b):
 @jax.jit
 def gemm_int8(a, b):
     out = None
-    for _ in range(8):
+    for _ in range(64):
         o = jnp.dot(a, b, preferred_element_type=jnp.int32)
-        a = (o // M).astype(jnp.int8)
+        a = (o >> 12).astype(jnp.int8)
         out = o
     return out
 
 
-fl = 8 * 2 * M**3
+fl = 64 * 2 * M**3
 for name, f, args in (("gemm bf16", gemm_bf16, (a16, b16)),
                       ("gemm int8", gemm_int8, (a8, b8))):
     t = best_of(f, *args)
@@ -71,7 +71,7 @@ for res, c in ((128, 320), (64, 640), (32, 1280)):
     x8 = rnd8(2, (2, res, res, c))
     w8 = rnd8(3, (3, 3, c, c))
     x16, w16 = x8.astype(jnp.bfloat16), w8.astype(jnp.bfloat16)
-    n_ch = 8
+    n_ch = 64
     cfl = n_ch * 2 * 2 * res * res * 9 * c * c
 
     def conv(x_, w_, pet):

@@ -48,9 +48,7 @@ elif STUB == "gn":
         def __call__(self, x):
             return x
 
-    U.nn = type(sys)("nn_shim")
-    U.nn.__dict__.update(nn.__dict__)
-    U.nn.GroupNorm = _GN
+    U.FastGroupNorm = _GN  # round-3: the UNet norms are FastGroupNorm
 elif STUB == "t2d":
     class _T2D(nn.Module):
         channels: int

@@ -19,6 +19,8 @@ import dataclasses
 from typing import Any, Optional, Sequence, Tuple
 
 import flax.linen as nn
+
+from ...ops.groupnorm import FastGroupNorm
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -121,9 +123,9 @@ class ResnetBlock2D(nn.Module):
     def __call__(self, x, temb):
         cfg = self.cfg
         c_in = x.shape[-1]
-        h = nn.GroupNorm(num_groups=cfg.norm_num_groups, epsilon=1e-5,
-                         dtype=jnp.float32, param_dtype=cfg.param_dtype,
-                         name="norm1")(x.astype(jnp.float32)).astype(cfg.dtype)
+        h = FastGroupNorm(num_groups=cfg.norm_num_groups, epsilon=1e-5,
+                               param_dtype=cfg.param_dtype,
+                               name="norm1")(x)
         h = nn.silu(h)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=cfg.dtype,
                     param_dtype=cfg.param_dtype,
@@ -135,9 +137,9 @@ class ResnetBlock2D(nn.Module):
                      name="time_emb_proj")(
             nn.silu(temb))
         h = h + t[:, None, None, :]
-        h = nn.GroupNorm(num_groups=cfg.norm_num_groups, epsilon=1e-5,
-                         dtype=jnp.float32, param_dtype=cfg.param_dtype,
-                         name="norm2")(h.astype(jnp.float32)).astype(cfg.dtype)
+        h = FastGroupNorm(num_groups=cfg.norm_num_groups, epsilon=1e-5,
+                               param_dtype=cfg.param_dtype,
+                               name="norm2")(h)
         h = nn.silu(h)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=cfg.dtype,
                     param_dtype=cfg.param_dtype,
@@ -242,9 +244,9 @@ class Transformer2DModel(nn.Module):
         b, h, w, c = x.shape
         heads = c // cfg.attention_head_dim
         residual = x
-        y = nn.GroupNorm(num_groups=cfg.norm_num_groups, epsilon=1e-6,
-                         dtype=jnp.float32, param_dtype=cfg.param_dtype,
-                         name="norm")(x.astype(jnp.float32)).astype(cfg.dtype)
+        y = FastGroupNorm(num_groups=cfg.norm_num_groups, epsilon=1e-6,
+                               param_dtype=cfg.param_dtype,
+                               name="norm")(x)
         y = y.reshape(b, h * w, c)
         y = nn.Dense(c, dtype=cfg.dtype, param_dtype=cfg.param_dtype,
                      name="proj_in")(y)  # use_linear_projection
@@ -368,9 +370,9 @@ class UNet2DConditionModel(nn.Module):
                 x = Upsample2D(up_ch[bi], cfg,
                                name=f"up_blocks_{bi}_upsamplers_0")(x)
 
-        x = nn.GroupNorm(num_groups=cfg.norm_num_groups, epsilon=1e-5,
-                         dtype=jnp.float32, param_dtype=cfg.param_dtype,
-                         name="conv_norm_out")(x.astype(jnp.float32))
+        x = FastGroupNorm(num_groups=cfg.norm_num_groups, epsilon=1e-5,
+                               param_dtype=cfg.param_dtype,
+                               name="conv_norm_out")(x)
         x = nn.silu(x).astype(cfg.dtype)
         return nn.Conv(cfg.out_channels, (3, 3), padding=1, dtype=cfg.dtype,
                        param_dtype=cfg.param_dtype, name="conv_out")(x)

@@ -13,6 +13,8 @@ import dataclasses
 from typing import Any, Tuple
 
 import flax.linen as nn
+
+from ...ops.groupnorm import FastGroupNorm
 import jax
 import jax.numpy as jnp
 
@@ -46,15 +48,15 @@ class VAEResnet(nn.Module):
     def __call__(self, x):
         cfg = self.cfg
         c_in = x.shape[-1]
-        h = nn.GroupNorm(num_groups=cfg.norm_num_groups, epsilon=1e-6,
-                         dtype=jnp.float32, param_dtype=cfg.param_dtype,
-                         name="norm1")(x.astype(jnp.float32)).astype(cfg.dtype)
+        h = FastGroupNorm(num_groups=cfg.norm_num_groups, epsilon=1e-6,
+                               param_dtype=cfg.param_dtype,
+                               name="norm1")(x)
         h = nn.silu(h)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=cfg.dtype,
                     param_dtype=cfg.param_dtype, name="conv1")(h)
-        h = nn.GroupNorm(num_groups=cfg.norm_num_groups, epsilon=1e-6,
-                         dtype=jnp.float32, param_dtype=cfg.param_dtype,
-                         name="norm2")(h.astype(jnp.float32)).astype(cfg.dtype)
+        h = FastGroupNorm(num_groups=cfg.norm_num_groups, epsilon=1e-6,
+                               param_dtype=cfg.param_dtype,
+                               name="norm2")(h)
         h = nn.silu(h)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=cfg.dtype,
                     param_dtype=cfg.param_dtype, name="conv2")(h)
@@ -75,9 +77,9 @@ class VAEAttention(nn.Module):
     def __call__(self, x):
         cfg = self.cfg
         b, h, w, c = x.shape
-        y = nn.GroupNorm(num_groups=cfg.norm_num_groups, epsilon=1e-6,
-                         dtype=jnp.float32, param_dtype=cfg.param_dtype,
-                         name="group_norm")(x.astype(jnp.float32)).astype(cfg.dtype)
+        y = FastGroupNorm(num_groups=cfg.norm_num_groups, epsilon=1e-6,
+                               param_dtype=cfg.param_dtype,
+                               name="group_norm")(x)
         y = y.reshape(b, h * w, c)
         q = nn.Dense(c, dtype=cfg.dtype, param_dtype=cfg.param_dtype, name="to_q")(y)
         k = nn.Dense(c, dtype=cfg.dtype, param_dtype=cfg.param_dtype, name="to_k")(y)
@@ -113,9 +115,9 @@ class Encoder(nn.Module):
         x = VAEResnet(ch[-1], cfg, name="mid_block_resnets_0")(x)
         x = VAEAttention(ch[-1], cfg, name="mid_block_attentions_0")(x)
         x = VAEResnet(ch[-1], cfg, name="mid_block_resnets_1")(x)
-        x = nn.GroupNorm(num_groups=cfg.norm_num_groups, epsilon=1e-6,
-                         dtype=jnp.float32, param_dtype=cfg.param_dtype,
-                         name="conv_norm_out")(x.astype(jnp.float32))
+        x = FastGroupNorm(num_groups=cfg.norm_num_groups, epsilon=1e-6,
+                               param_dtype=cfg.param_dtype,
+                               name="conv_norm_out")(x)
         x = nn.silu(x).astype(cfg.dtype)
         return nn.Conv(2 * cfg.latent_channels, (3, 3), padding=1,
                        dtype=cfg.dtype, param_dtype=cfg.param_dtype,
@@ -143,9 +145,9 @@ class Decoder(nn.Module):
                 x = nn.Conv(c, (3, 3), padding=1, dtype=cfg.dtype,
                             param_dtype=cfg.param_dtype,
                             name=f"up_blocks_{bi}_upsamplers_0_conv")(x)
-        x = nn.GroupNorm(num_groups=cfg.norm_num_groups, epsilon=1e-6,
-                         dtype=jnp.float32, param_dtype=cfg.param_dtype,
-                         name="conv_norm_out")(x.astype(jnp.float32))
+        x = FastGroupNorm(num_groups=cfg.norm_num_groups, epsilon=1e-6,
+                               param_dtype=cfg.param_dtype,
+                               name="conv_norm_out")(x)
         x = nn.silu(x).astype(cfg.dtype)
         return nn.Conv(cfg.in_channels, (3, 3), padding=1, dtype=cfg.dtype,
                        param_dtype=cfg.param_dtype, name="conv_out")(x)

@@ -86,6 +86,33 @@ def test_groupnorm_nhwc_matches_torch():
     np.testing.assert_allclose(np.asarray(got), nhwc(ref), atol=1e-5, rtol=1e-5)
 
 
+def test_fast_groupnorm_matches_torch():
+    """The production GroupNorm (single-pass sum/sumsq stats, fused
+    affine — ops/groupnorm.py) vs torch.nn.GroupNorm, including a
+    large-mean input to exercise the E[x^2]-E[x]^2 cancellation path."""
+    from seed_story_tpu.ops.groupnorm import FastGroupNorm
+
+    torch.manual_seed(7)
+    B, C, H, W = 2, 32, 6, 6
+    G = 8
+    for shift in (0.0, 30.0):
+        x = torch.randn(B, C, H, W) + shift
+        m = torch.nn.GroupNorm(G, C, eps=1e-5)
+        with torch.no_grad():
+            m.weight.copy_(torch.randn(C))
+            m.bias.copy_(torch.randn(C))
+            ref = m(x)
+        gn = FastGroupNorm(num_groups=G, epsilon=1e-5)
+        params = {
+            "scale": jnp.asarray(m.weight.detach().numpy()),
+            "bias": jnp.asarray(m.bias.detach().numpy()),
+        }
+        got = gn.apply({"params": params}, jnp.asarray(nhwc(x)))
+        np.testing.assert_allclose(
+            np.asarray(got), nhwc(ref), atol=2e-4, rtol=1e-3
+        )
+
+
 def test_downsample_pad_conv_matches_torch():
     """diffusers Downsample2D: F.pad((0,1,0,1)) + conv2d stride 2 pad 0."""
     torch.manual_seed(1)
