@@ -71,6 +71,11 @@ class InferenceStack:
     generator: Any
     detokenize: Optional[Any]  # feats (1,n,D) -> PIL.Image or None
     num_img_in_tokens: int
+    # device -> (feats -> PIL.Image): builds a de-tokenizer replica whose
+    # params live on that device (pipelines/serving.py DetokenizerPool
+    # factory for the multi-chip pipelined serving layout); None when the
+    # stack was built without an adapter.
+    detok_factory: Optional[Any] = None
 
 
 def build_stack(
@@ -91,6 +96,7 @@ def build_stack(
     image_size: int = 1024,
     force_boi_at: Optional[int] = None,
     batch_stories: int = 1,
+    pipelined_detok: bool = False,
 ) -> InferenceStack:
     import jax
     import jax.numpy as jnp
@@ -149,8 +155,9 @@ def build_stack(
         cache_capacity=cache_capacity,
         force_boi_at=force_boi_at,
         # batched serving (lockstep stories) re-prefills every segment and
-        # never threads a cache back; see StoryGenerator.generate_batch
-        return_cache=batch_stories <= 1,
+        # never threads a cache back; see StoryGenerator.generate_batch.
+        # Pipelined serving drives run_batch even for one story.
+        return_cache=batch_stories <= 1 and not pipelined_detok,
     )
     generator = StoryGenerator(agent, agent_params, gcfg)
 
@@ -201,6 +208,26 @@ def build_stack(
             imgs = pipe.generate(np.asarray(feats), neg_feats)
             return Image.fromarray(imgs[0])
 
+        def detok_factory(device):
+            # replica params committed to `device`; uncommitted numpy
+            # inputs follow them, so the whole sample loop runs there
+            rp = jax.device_put(adapter_params, device)
+            rv = jax.device_put(vae_params, device)
+            rpipe = SDXLImagePipeline(
+                adapter, rp, vae, rv,
+                cfg=SDXLSampleConfig(
+                    height=image_size, width=image_size,
+                    num_inference_steps=num_inference_steps,
+                    vae_scale=2 ** (len(vae_cfg.block_out_channels) - 1),
+                ),
+            )
+
+            def detok(feats):
+                imgs = rpipe.generate(np.asarray(feats), neg_feats)
+                return Image.fromarray(imgs[0])
+
+            return detok
+
     return InferenceStack(
         tokenizer=tokenizer,
         image_transform=image_transform,
@@ -208,4 +235,5 @@ def build_stack(
         generator=generator,
         detokenize=detokenize,
         num_img_in_tokens=agent_cfg.num_img_in_tokens,
+        detok_factory=detok_factory if adapter_cfg_path else None,
     )

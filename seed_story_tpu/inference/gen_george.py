@@ -51,6 +51,13 @@ def parse_args(argv=None):
                         "on-device program (lockstep batched decode; ~3.3x "
                         "story throughput at N=4 on 7B — PERF.md). 1 = the "
                         "reference's sequential behavior.")
+    p.add_argument("--detok_devices", type=int, default=0,
+                   help="pipelined serving: run N SDXL de-tokenizer "
+                        "replicas on the LAST N visible devices while "
+                        "decode runs on the rest (pipelines/serving.py); "
+                        "with 2-3 replicas per decode chip the de-tokenizer "
+                        "hides entirely behind decode. 0 = inline (the "
+                        "reference's serial flow).")
     return p.parse_args(argv)
 
 
@@ -68,11 +75,13 @@ def main(argv=None):
         image_size=args.image_size,
         force_boi_at=args.force_boi_at,
         batch_stories=args.batch_stories,
+        pipelined_detok=args.detok_devices > 0,
     )
 
+    serving = args.detok_devices > 0 and stack.detok_factory is not None
     pipe = StoryGenerationPipeline(
         stack.tokenizer, stack.generator, stack.visual_encode,
-        stack.detokenize,
+        None if serving else stack.detokenize,
         StoryPipelineConfig(
             story_len=args.story_len, window_size=args.window_size,
             num_img_in_tokens=stack.num_img_in_tokens,
@@ -104,6 +113,34 @@ def main(argv=None):
                 os.path.join(save_folder, f"ori_{seg.index:02d}.jpg"))
             add_subtitle(seg.image, seg.text).save(
                 os.path.join(save_folder, f"{seg.index:02d}.jpg"))
+
+    if serving:
+        # pipelined two-stage serving: lockstep decode + de-tokenizer
+        # replica pool on the tail devices (segments stream out as their
+        # images complete; per-story order is preserved)
+        import jax
+
+        from ..pipelines.serving import DetokenizerPool, PipelinedStoryServer
+
+        devices = jax.devices()
+        if args.detok_devices >= len(devices):
+            raise SystemExit(
+                f"--detok_devices {args.detok_devices} needs at least "
+                f"{args.detok_devices + 1} visible devices, have {len(devices)}"
+            )
+        pool = DetokenizerPool(
+            stack.detok_factory, devices[-args.detok_devices:])
+        server = PipelinedStoryServer(pipe, pool)
+        group_n = max(args.batch_stories, 1)
+        for base in range(0, len(data), group_n):
+            group = data[base : base + group_n]
+            started = [start_story(base + r, d) for r, d in enumerate(group)]
+            seeds = [(px, q) for px, q, _ in started]
+            for r, seg in server.serve_stream(seeds):
+                save_segment(base + r, started[r][2], seg)
+        print(f"serving stats: {server.stats()}")
+        pool.shutdown()
+        return
 
     if args.batch_stories > 1:
         for base in range(0, len(data), args.batch_stories):

@@ -122,6 +122,16 @@ def test_gen_george_cli_batched(ws, tmp_path):
     _check_story(str(out / "val_1"))
 
 
+def test_gen_george_cli_pipelined_serving(ws, tmp_path):
+    """--detok_devices: lockstep decode + SDXL replica pool on the tail
+    devices (pipelines/serving.py wired through the product CLI)."""
+    out = tmp_path / "out_serving"
+    _run(ws, out, ["--max_stories", "2", "--batch_stories", "2",
+                   "--detok_devices", "2"])
+    _check_story(str(out / "val_0"))
+    _check_story(str(out / "val_1"))
+
+
 def test_vis_george_sink_cli(ws, tmp_path):
     """Sink-cache visualization CLI end to end: ground-truth texts in,
     generated frames out, KV cache threaded across turns."""
