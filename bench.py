@@ -385,11 +385,13 @@ def main():
     # per-segment latency (measured round 3: 4.88 seg/min interleaved vs
     # 4.80 two-phase). Two-phase remains the mode for bf16 params or
     # multi-story serving (n_stories KV caches + SDXL do not co-reside).
+    # default: on at n_stories==1 (13.7GB fits); off for multi-story
+    # (each extra story adds a 1.5GB KV cache) — but an explicit =1 lets
+    # 2 co-resident stories be tried (~15.2GB, borderline)
     interleaved = (
         os.environ.get("SEED_STORY_BENCH_INTERLEAVED",
                        "1" if n_stories == 1 else "0") == "1"
-        and use_sdxl and preset != "pico"
-        and int8 and kv_int8 and n_stories == 1
+        and use_sdxl and preset != "pico" and int8 and kv_int8
     )
     detok = None
     if interleaved:
