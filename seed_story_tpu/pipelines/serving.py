@@ -62,6 +62,7 @@ class DetokenizerPool:
         self._lock = threading.Lock()
         self.busy_s = [0.0] * len(self._replicas)
         self.calls = [0] * len(self._replicas)
+        self.failures = 0
 
     def __len__(self) -> int:
         return len(self._replicas)
@@ -71,11 +72,33 @@ class DetokenizerPool:
             i = next(self._rr)
 
         def work():
-            t0 = time.perf_counter()
-            out = self._replicas[i](feats)
-            self.busy_s[i] += time.perf_counter() - t0
-            self.calls[i] += 1
-            return out
+            # one failover hop: transient per-device failures happen on
+            # real hardware (e.g. RESOURCE_EXHAUSTED while the runtime
+            # still holds a just-exited process's HBM); a story should
+            # survive a single flaky replica
+            last_err = None
+            for attempt, j in enumerate((i, (i + 1) % len(self._replicas))):
+                try:
+                    t0 = time.perf_counter()
+                    out = self._replicas[j](feats)
+                    self.busy_s[j] += time.perf_counter() - t0
+                    self.calls[j] += 1
+                    return out
+                except Exception as e:  # noqa: BLE001
+                    # (failover may briefly double-book replica j with its
+                    # own thread; JAX dispatch serializes on the device,
+                    # so this is safe, just not accounted per-thread)
+                    last_err = e
+                    if attempt == 0 and len(self._replicas) > 1:
+                        import logging
+
+                        logging.warning(
+                            "detokenizer replica %d failed (%s); "
+                            "retrying on replica %d",
+                            j, type(e).__name__, (i + 1) % len(self._replicas),
+                        )
+                        self.failures += 1
+            raise last_err
 
         return self._executors[i].submit(work)
 
@@ -151,6 +174,7 @@ class PipelinedStoryServer:
             "detok_replicas": len(self.pool),
             "detok_calls": list(self.pool.calls),
             "detok_busy_s": [round(b, 3) for b in self.pool.busy_s],
+            "detok_failovers": self.pool.failures,
         }
 
 

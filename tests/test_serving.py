@@ -115,6 +115,33 @@ def test_pipelined_serving_matches_inline():
     assert stats["detok_replicas"] == 6 and stats["decode_s"] > 0
 
 
+def test_detok_pool_failover():
+    """A replica that raises transiently fails over to its neighbor once
+    (real-hardware flake: RESOURCE_EXHAUSTED from stale worker HBM)."""
+    devices = jax.devices()[:3]
+    fail_first = {"armed": True}
+
+    def make_detok(device):
+        idx = devices.index(device)
+
+        def detok(feats):
+            if idx == 0 and fail_first.pop("armed", False):
+                raise RuntimeError("transient RESOURCE_EXHAUSTED")
+            return np.asarray(feats).sum()
+
+        return detok
+
+    pool = DetokenizerPool(make_detok, devices)
+    try:
+        feats = np.ones((2, 2), np.float32)
+        results = [pool.submit(feats).result() for _ in range(4)]
+        assert all(r == 4.0 for r in results)
+        assert pool.failures == 1
+        assert sum(pool.calls) == 4
+    finally:
+        pool.shutdown()
+
+
 def test_pipelined_server_rejects_inline_detok():
     pipe = _build(detokenize=_image_of)
     pool = DetokenizerPool(lambda d: _image_of, jax.devices()[:1])
