@@ -44,6 +44,12 @@ def parse_args(argv=None):
     p.add_argument("--no_images", action="store_true")
     p.add_argument("--force_boi_at", type=int, default=None)
     p.add_argument("--max_stories", type=int, default=None)
+    p.add_argument("--detok_devices", type=int, default=0,
+                   help="pipelined de-tokenization: N SDXL replicas on "
+                        "the LAST N visible devices render images while "
+                        "the sink-cache decode continues (the vis path is "
+                        "image-dominated: 2.58 s decode vs ~7 s image per "
+                        "segment). 0 = inline.")
     return p.parse_args(argv)
 
 
@@ -61,14 +67,30 @@ def main(argv=None):
         image_size=args.image_size,
         force_boi_at=args.force_boi_at,
     )
+    serving = args.detok_devices > 0 and stack.detok_factory is not None
     pipe = StoryVisualizationPipeline(
         stack.tokenizer, stack.generator, stack.visual_encode,
-        stack.detokenize,
+        None if serving else stack.detokenize,
         VisPipelineConfig(
             story_len=args.story_len, window_size=args.window_size,
             num_img_in_tokens=stack.num_img_in_tokens,
         ),
     )
+
+    pool = None
+    if serving:
+        import jax
+
+        from ..pipelines.serving import DetokenizerPool, pipelined_segments
+
+        devices = jax.devices()
+        if args.detok_devices >= len(devices):
+            raise SystemExit(
+                f"--detok_devices {args.detok_devices} needs at least "
+                f"{args.detok_devices + 1} visible devices, have {len(devices)}"
+            )
+        pool = DetokenizerPool(
+            stack.detok_factory, devices[-args.detok_devices:])
 
     data = read_jsonl(args.val_jsonl)
     if args.max_stories:
@@ -83,7 +105,10 @@ def main(argv=None):
             os.path.join(save_folder, "000start_image.jpg"))
 
         pixels = stack.image_transform(image)[None]
-        for seg in pipe.run(pixels, starting_text, texts):
+        segs = pipe.run(pixels, starting_text, texts)
+        if pool is not None:
+            segs = pipelined_segments(segs, pool)
+        for seg in segs:
             with open(os.path.join(save_folder, "text.txt"), "a+") as f:
                 f.write(seg.text + "\n")
             with open(os.path.join(save_folder, "token.txt"), "a+") as f:
@@ -93,6 +118,8 @@ def main(argv=None):
                 seg.image.save(os.path.join(save_folder, f"ori_{seg.index:02d}.jpg"))
                 add_subtitle(seg.image, seg.text).save(
                     os.path.join(save_folder, f"{seg.index:02d}.jpg"))
+    if pool is not None:
+        pool.shutdown()
 
 
 if __name__ == "__main__":

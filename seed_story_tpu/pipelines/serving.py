@@ -140,18 +140,14 @@ class PipelinedStoryServer:
                 fut = (self.pool.submit(seg.image_features)
                        if seg.image_features is not None else None)
                 pending.append((story_idx, seg, fut))
-            # yield any segment whose image is already done, preserving
-            # per-story segment order (pending is appended in round order,
-            # so a story's segments resolve in index order)
-            still: List[Tuple[int, StorySegment, Optional[Future]]] = []
-            for story_idx, seg, fut in pending:
-                if fut is None or fut.done():
-                    if fut is not None:
-                        seg.image = fut.result()
-                    yield story_idx, seg
-                else:
-                    still.append((story_idx, seg, fut))
-            pending = still
+            # FIFO drain: yield only from the front so a later segment
+            # whose image finishes early can never overtake an earlier
+            # one (consumers append per-story files in yield order)
+            while pending and (pending[0][2] is None or pending[0][2].done()):
+                story_idx, seg, fut = pending.pop(0)
+                if fut is not None:
+                    seg.image = fut.result()
+                yield story_idx, seg
         self.decode_s = time.perf_counter() - t0
         for story_idx, seg, fut in pending:
             if fut is not None:
@@ -176,6 +172,35 @@ class PipelinedStoryServer:
             "detok_busy_s": [round(b, 3) for b in self.pool.busy_s],
             "detok_failovers": self.pool.failures,
         }
+
+
+def pipelined_segments(
+    segments: Iterator[StorySegment], pool: DetokenizerPool
+) -> Iterator[StorySegment]:
+    """Asynchronous de-tokenization for a SINGLE sequential story.
+
+    Wraps any StorySegment iterator built with ``detokenize=None`` (the
+    generation pipeline's ``run`` or the sink-cache visualization
+    pipeline's ``run``): each segment's features go straight to the pool
+    while the iterator keeps decoding the next segment, and segments are
+    yielded in order with their images filled in. The visualization path
+    benefits most — decode is 2.58 s/segment but the image is 7.1 s
+    (PERF.md), so 2-3 replicas make a visualized story decode-bound.
+    """
+    pending: List[Tuple[StorySegment, Optional[Future]]] = []
+    for seg in segments:
+        fut = (pool.submit(seg.image_features)
+               if seg.image_features is not None else None)
+        pending.append((seg, fut))
+        while pending and (pending[0][1] is None or pending[0][1].done()):
+            s, f = pending.pop(0)
+            if f is not None:
+                s.image = f.result()
+            yield s
+    for s, f in pending:
+        if f is not None:
+            s.image = f.result()
+        yield s
 
 
 def split_devices(n_decode: int, devices: Optional[Sequence[Any]] = None):

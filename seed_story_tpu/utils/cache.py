@@ -13,6 +13,13 @@ import os
 def enable_compile_cache(cache_dir: str | None = None) -> str:
     import jax
 
+    # TPU-only: CPU compiles are fast, and persisted CPU AOT executables
+    # are machine-feature-pinned — loading one written by a host with a
+    # different CPU (containers migrate) warns "could lead to SIGILL" and
+    # can mis-execute (observed: a cached CPU decode program changed its
+    # output between otherwise identical runs).
+    if jax.default_backend() != "tpu":
+        return ""
     cache_dir = cache_dir or os.environ.get(
         "SEED_STORY_COMPILE_CACHE",
         os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(__file__))),

@@ -165,8 +165,23 @@ def test_vis_george_sink_cli(ws, tmp_path):
         "--num_inference_steps", "2",
         "--image_size", "32",
         "--max_stories", "1",
+        # untrained weights put near-uniform mass on 32k logits; forcing
+        # the image block keeps has_img_output deterministic across
+        # separately-jitted (fp-jittered) runs of the same pico model
+        "--force_boi_at", "8",
     ]
     main(argv)
     folder = str(out / "val_0")
     jpgs = [f for f in os.listdir(folder) if f.endswith(".jpg")]
     assert jpgs, os.listdir(folder)
+    n_lines = len(open(os.path.join(folder, "text.txt")).readlines())
+
+    # pipelined variant: async de-tokenization through a 2-replica pool
+    # must produce the same folder surface (ordered text + frames)
+    out2 = tmp_path / "out_vis_pool"
+    main([a if a != str(out) else str(out2) for a in argv]
+         + ["--detok_devices", "2"])
+    folder2 = str(out2 / "val_0")
+    assert len(open(os.path.join(folder2, "text.txt")).readlines()) == n_lines
+    jpgs2 = [f for f in os.listdir(folder2) if f.endswith(".jpg")]
+    assert sorted(jpgs2) == sorted(jpgs)
