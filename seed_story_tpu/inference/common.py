@@ -76,6 +76,9 @@ class InferenceStack:
     # factory for the multi-chip pipelined serving layout); None when the
     # stack was built without an adapter.
     detok_factory: Optional[Any] = None
+    # tensor-parallel decode mesh (decode_tp > 1); loops that call the
+    # generator must run inside ``with stack.mesh:``
+    mesh: Optional[Any] = None
 
 
 def build_stack(
@@ -97,6 +100,7 @@ def build_stack(
     force_boi_at: Optional[int] = None,
     batch_stories: int = 1,
     pipelined_detok: bool = False,
+    decode_tp: int = 0,
 ) -> InferenceStack:
     import jax
     import jax.numpy as jnp
@@ -159,7 +163,21 @@ def build_stack(
         # Pipelined serving drives run_batch even for one story.
         return_cache=batch_stories <= 1 and not pipelined_detok,
     )
-    generator = StoryGenerator(agent, agent_params, gcfg)
+    mesh = None
+    if decode_tp > 1:
+        # tensor-parallel decode over the FIRST decode_tp devices (the
+        # tail devices stay free for de-tokenizer replicas); params are
+        # sharded by StoryGenerator via the fsdp_tp preset
+        from ..parallel.mesh import make_mesh
+
+        mesh = make_mesh(1, decode_tp, jax.devices()[:decode_tp])
+        with mesh:
+            generator = StoryGenerator(
+                agent, agent_params, gcfg, mesh=mesh,
+                sharding_preset="fsdp_tp",
+            )
+    else:
+        generator = StoryGenerator(agent, agent_params, gcfg)
 
     detokenize = None
     if adapter_cfg_path:
@@ -236,4 +254,5 @@ def build_stack(
         detokenize=detokenize,
         num_img_in_tokens=agent_cfg.num_img_in_tokens,
         detok_factory=detok_factory if adapter_cfg_path else None,
+        mesh=mesh,
     )

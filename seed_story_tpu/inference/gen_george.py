@@ -51,6 +51,11 @@ def parse_args(argv=None):
                         "on-device program (lockstep batched decode; ~3.3x "
                         "story throughput at N=4 on 7B — PERF.md). 1 = the "
                         "reference's sequential behavior.")
+    p.add_argument("--decode_tp", type=int, default=0,
+                   help="tensor-parallel decode over the FIRST N visible "
+                        "devices (fsdp_tp preset; pairs with "
+                        "--detok_devices on the tail devices). 0/1 = "
+                        "single-device decode.")
     p.add_argument("--detok_devices", type=int, default=0,
                    help="pipelined serving: run N SDXL de-tokenizer "
                         "replicas on the LAST N visible devices while "
@@ -62,6 +67,8 @@ def parse_args(argv=None):
 
 
 def main(argv=None):
+    import contextlib
+
     args = parse_args(argv)
     stack = build_stack(
         args.tokenizer, args.image_transform, args.visual_encoder,
@@ -76,6 +83,7 @@ def main(argv=None):
         force_boi_at=args.force_boi_at,
         batch_stories=args.batch_stories,
         pipelined_detok=args.detok_devices > 0,
+        decode_tp=args.decode_tp,
     )
 
     serving = args.detok_devices > 0 and stack.detok_factory is not None
@@ -114,6 +122,8 @@ def main(argv=None):
             add_subtitle(seg.image, seg.text).save(
                 os.path.join(save_folder, f"{seg.index:02d}.jpg"))
 
+    mesh_ctx = stack.mesh if stack.mesh is not None else contextlib.nullcontext()
+
     if serving:
         # pipelined two-stage serving: lockstep decode + de-tokenizer
         # replica pool on the tail devices (segments stream out as their
@@ -132,31 +142,34 @@ def main(argv=None):
             stack.detok_factory, devices[-args.detok_devices:])
         server = PipelinedStoryServer(pipe, pool)
         group_n = max(args.batch_stories, 1)
-        for base in range(0, len(data), group_n):
-            group = data[base : base + group_n]
-            started = [start_story(base + r, d) for r, d in enumerate(group)]
-            seeds = [(px, q) for px, q, _ in started]
-            for r, seg in server.serve_stream(seeds):
-                save_segment(base + r, started[r][2], seg)
+        with mesh_ctx:
+            for base in range(0, len(data), group_n):
+                group = data[base : base + group_n]
+                started = [start_story(base + r, d) for r, d in enumerate(group)]
+                seeds = [(px, q) for px, q, _ in started]
+                for r, seg in server.serve_stream(seeds):
+                    save_segment(base + r, started[r][2], seg)
         print(f"serving stats: {server.stats()}")
         pool.shutdown()
         return
 
     if args.batch_stories > 1:
-        for base in range(0, len(data), args.batch_stories):
-            group = data[base : base + args.batch_stories]
-            started = [start_story(base + r, d) for r, d in enumerate(group)]
-            seeds = [(px, q) for px, q, _ in started]
-            for round_segs in pipe.run_batch(seeds):
-                for r, seg in enumerate(round_segs):
-                    if seg is not None:
-                        save_segment(base + r, started[r][2], seg)
+        with mesh_ctx:
+            for base in range(0, len(data), args.batch_stories):
+                group = data[base : base + args.batch_stories]
+                started = [start_story(base + r, d) for r, d in enumerate(group)]
+                seeds = [(px, q) for px, q, _ in started]
+                for round_segs in pipe.run_batch(seeds):
+                    for r, seg in enumerate(round_segs):
+                        if seg is not None:
+                            save_segment(base + r, started[r][2], seg)
         return
 
-    for j, d in enumerate(data):
-        pixels, question, save_folder = start_story(j, d)
-        for seg in pipe.run(pixels, question):
-            save_segment(j, save_folder, seg)
+    with mesh_ctx:
+        for j, d in enumerate(data):
+            pixels, question, save_folder = start_story(j, d)
+            for seg in pipe.run(pixels, question):
+                save_segment(j, save_folder, seg)
 
 
 if __name__ == "__main__":

@@ -132,6 +132,15 @@ def test_gen_george_cli_pipelined_serving(ws, tmp_path):
     _check_story(str(out / "val_1"))
 
 
+def test_gen_george_cli_tp_decode_with_pool(ws, tmp_path):
+    """The full multi-chip serving layout through the CLI: tensor-parallel
+    decode on the first 2 devices + 4 de-tokenizer replicas on the tail."""
+    out = tmp_path / "out_tp_serving"
+    _run(ws, out, ["--max_stories", "1", "--decode_tp", "2",
+                   "--detok_devices", "4"])
+    _check_story(str(out / "val_0"))
+
+
 def test_vis_george_sink_cli(ws, tmp_path):
     """Sink-cache visualization CLI end to end: ground-truth texts in,
     generated frames out, KV cache threaded across turns."""
