@@ -44,6 +44,10 @@ def parse_args(argv=None):
     p.add_argument("--no_images", action="store_true")
     p.add_argument("--force_boi_at", type=int, default=None)
     p.add_argument("--max_stories", type=int, default=None)
+    p.add_argument("--decode_tp", type=int, default=0,
+                   help="tensor-parallel decode over the FIRST N visible "
+                        "devices (pairs with --detok_devices). 0/1 = "
+                        "single-device decode.")
     p.add_argument("--detok_devices", type=int, default=0,
                    help="pipelined de-tokenization: N SDXL replicas on "
                         "the LAST N visible devices render images while "
@@ -54,6 +58,8 @@ def parse_args(argv=None):
 
 
 def main(argv=None):
+    import contextlib
+
     args = parse_args(argv)
     stack = build_stack(
         args.tokenizer, args.image_transform, args.visual_encoder,
@@ -66,6 +72,7 @@ def main(argv=None):
         num_inference_steps=args.num_inference_steps,
         image_size=args.image_size,
         force_boi_at=args.force_boi_at,
+        decode_tp=args.decode_tp,
     )
     serving = args.detok_devices > 0 and stack.detok_factory is not None
     pipe = StoryVisualizationPipeline(
@@ -95,6 +102,16 @@ def main(argv=None):
     data = read_jsonl(args.val_jsonl)
     if args.max_stories:
         data = data[: args.max_stories]
+    mesh_ctx = stack.mesh if stack.mesh is not None else contextlib.nullcontext()
+    with mesh_ctx:
+        _run_stories(args, stack, pipe, pool, data)
+    if pool is not None:
+        pool.shutdown()
+
+
+def _run_stories(args, stack, pipe, pool, data):
+    from ..pipelines.serving import pipelined_segments
+
     for j, d in enumerate(data):
         image = Image.open(
             os.path.join(args.image_root, d["images"][0])).convert("RGB")
@@ -118,8 +135,6 @@ def main(argv=None):
                 seg.image.save(os.path.join(save_folder, f"ori_{seg.index:02d}.jpg"))
                 add_subtitle(seg.image, seg.text).save(
                     os.path.join(save_folder, f"{seg.index:02d}.jpg"))
-    if pool is not None:
-        pool.shutdown()
 
 
 if __name__ == "__main__":
