@@ -347,13 +347,11 @@ def main():
     import jax
 
     # persistent compile cache: repeated driver runs skip the (slow) remote
-    # TPU compiles entirely
-    cache_dir = os.environ.get(
-        "SEED_STORY_COMPILE_CACHE",
-        os.path.join(os.path.dirname(__file__), ".jax_cache"),
-    )
-    jax.config.update("jax_compilation_cache_dir", cache_dir)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    # TPU compiles entirely (the helper is TPU-only — persisted CPU AOT
+    # executables are machine-pinned and can mis-execute on another host)
+    from seed_story_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
 
     kernel_gate()  # compiled-Pallas parity on the actual chip, pre-timing
 

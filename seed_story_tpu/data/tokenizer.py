@@ -71,7 +71,34 @@ def load_llama_tokenizer(pretrained_model_name_or_path: str):
     if len(tok) < MULTIMODAL_VOCAB_SIZE:
         tok.add_tokens(special_tokens())
     assert len(tok) == MULTIMODAL_VOCAB_SIZE, len(tok)
+    validate_canonical_layout(tok, pretrained_model_name_or_path)
     return tok
+
+
+def validate_canonical_layout(tok, origin: str = "<tokenizer>") -> None:
+    """Assert the 66 multimodal tokens sit at the canonical 32000+ ids.
+
+    A released asset that contains the tokens at OTHER ids (possible via
+    the slow sentencepiece path's added_tokens.json order; the fast
+    tokenizers re-derive ids so tokenizer.json assets are safe) would pass
+    a size check and then silently disagree with the model's embedding
+    rows — every BOI/EOI/<img_k> id the pipelines compute would address
+    the wrong row."""
+    bad = [
+        (t, tok.convert_tokens_to_ids(t), LLAMA_VOCAB_SIZE + i)
+        for i, t in enumerate(special_tokens())
+        if tok.convert_tokens_to_ids(t) != LLAMA_VOCAB_SIZE + i
+    ]
+    if bad:
+        t, got, want = bad[0]
+        raise ValueError(
+            f"tokenizer at {origin!r} maps "
+            f"{t!r} to id {got}, expected {want} (+{len(bad) - 1} more). "
+            "Convert the model embeddings with tools.convert_torch_weights "
+            "--added_tokens_json <released added_tokens.json> to permute "
+            "rows 32000+ into the canonical special_tokens() order, and "
+            "re-save the tokenizer in canonical order."
+        )
 
 
 def bert_tokenizer(pretrained_model_name_or_path: str):

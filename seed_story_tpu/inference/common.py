@@ -209,22 +209,30 @@ def build_stack(
         if vae_ckpt:
             vae_params = load_params_partial(vae_ckpt, vae_params)
 
-        pipe = SDXLImagePipeline(
-            adapter, adapter_params, vae, vae_params,
-            cfg=SDXLSampleConfig(
-                height=image_size, width=image_size,
-                num_inference_steps=num_inference_steps,
-                vae_scale=2 ** (len(vae_cfg.block_out_channels) - 1),
-            ),
-        )
         # CFG negatives: ViT features of a black image
         # (reference adapter_modules.py:387-428)
         black = np.zeros((1, 3, vit_cfg.image_size, vit_cfg.image_size), np.float32)
         neg_feats = visual_encode(black)
 
-        def detokenize(feats):
-            imgs = pipe.generate(np.asarray(feats), neg_feats)
-            return Image.fromarray(imgs[0])
+        if pipelined_detok:
+            # replicas own the device copies; keep the master params on
+            # HOST so no dead ~5.5GB copy sits on the decode device
+            adapter_params = jax.device_get(adapter_params)
+            vae_params = jax.device_get(vae_params)
+            detokenize = None
+        else:
+            pipe = SDXLImagePipeline(
+                adapter, adapter_params, vae, vae_params,
+                cfg=SDXLSampleConfig(
+                    height=image_size, width=image_size,
+                    num_inference_steps=num_inference_steps,
+                    vae_scale=2 ** (len(vae_cfg.block_out_channels) - 1),
+                ),
+            )
+
+            def detokenize(feats):
+                imgs = pipe.generate(np.asarray(feats), neg_feats)
+                return Image.fromarray(imgs[0])
 
         def detok_factory(device):
             # replica params committed to `device`; uncommitted numpy

@@ -133,10 +133,13 @@ def main(argv=None):
         from ..pipelines.serving import DetokenizerPool, PipelinedStoryServer
 
         devices = jax.devices()
-        if args.detok_devices >= len(devices):
+        n_decode = max(args.decode_tp, 1)
+        if n_decode + args.detok_devices > len(devices):
             raise SystemExit(
-                f"--detok_devices {args.detok_devices} needs at least "
-                f"{args.detok_devices + 1} visible devices, have {len(devices)}"
+                f"--decode_tp {args.decode_tp} + --detok_devices "
+                f"{args.detok_devices} needs {n_decode + args.detok_devices} "
+                f"devices, have {len(devices)} (decode shards and SDXL "
+                f"replicas must not share a chip)"
             )
         pool = DetokenizerPool(
             stack.detok_factory, devices[-args.detok_devices:])

@@ -60,16 +60,28 @@ def initialize_multihost(coordinator_address=None, num_processes=None,
         # A genuine failure (unreachable coordinator, bad NUM_PROCESSES /
         # PROCESS_ID) must fail fast: silently degrading to single-process
         # mode would desync a real multi-host launch instead of aborting it.
-        from jax._src.distributed import global_state as _dist_state
+        try:
+            from jax._src.distributed import global_state as _dist_state
 
-        already = getattr(_dist_state, "client", None) is not None
+            already = getattr(_dist_state, "client", None) is not None
+        except Exception:  # private-internals probe may move across jax versions
+            already = None
         if not already:
-            if addr == "auto":
-                jax.distributed.initialize()  # TPU-pod autodetection
-            else:
-                jax.distributed.initialize(
-                    addr, num_processes=num_processes, process_id=process_id
-                )
+            try:
+                if addr == "auto":
+                    jax.distributed.initialize()  # TPU-pod autodetection
+                else:
+                    jax.distributed.initialize(
+                        addr, num_processes=num_processes, process_id=process_id
+                    )
+            except RuntimeError as e:
+                # Only when the internal probe was unavailable do we fall
+                # back to message matching for the benign double-init case;
+                # anything else (unreachable coordinator, bad ids) re-raises.
+                if already is None and "already" in str(e).lower():
+                    pass
+                else:
+                    raise
     return jax.process_index(), jax.process_count()
 
 

@@ -76,8 +76,10 @@ class DetokenizerPool:
             # real hardware (e.g. RESOURCE_EXHAUSTED while the runtime
             # still holds a just-exited process's HBM); a story should
             # survive a single flaky replica
+            n = len(self._replicas)
+            tries = (i, (i + 1) % n) if n > 1 else (i,)  # no same-replica retry
             last_err = None
-            for attempt, j in enumerate((i, (i + 1) % len(self._replicas))):
+            for attempt, j in enumerate(tries):
                 try:
                     t0 = time.perf_counter()
                     out = self._replicas[j](feats)
@@ -89,15 +91,15 @@ class DetokenizerPool:
                     # own thread; JAX dispatch serializes on the device,
                     # so this is safe, just not accounted per-thread)
                     last_err = e
-                    if attempt == 0 and len(self._replicas) > 1:
+                    self.failures += 1
+                    if attempt + 1 < len(tries):
                         import logging
 
                         logging.warning(
                             "detokenizer replica %d failed (%s); "
                             "retrying on replica %d",
-                            j, type(e).__name__, (i + 1) % len(self._replicas),
+                            j, type(e).__name__, tries[attempt + 1],
                         )
-                        self.failures += 1
             raise last_err
 
         return self._executors[i].submit(work)
@@ -124,6 +126,8 @@ class PipelinedStoryServer:
             )
         self.pipeline = pipeline
         self.pool = pool
+        # cumulative wall time of the serve_stream loops (decode + yield
+        # suspension while the consumer saves output) across all calls
         self.decode_s = 0.0
 
     def serve_stream(
@@ -148,7 +152,7 @@ class PipelinedStoryServer:
                 if fut is not None:
                     seg.image = fut.result()
                 yield story_idx, seg
-        self.decode_s = time.perf_counter() - t0
+        self.decode_s += time.perf_counter() - t0
         for story_idx, seg, fut in pending:
             if fut is not None:
                 seg.image = fut.result()

@@ -385,7 +385,7 @@ def remap_stage1_yuying(sd: StateDict) -> StateDict:
     /root/reference/src/models/discrete_models.py:427-454,
     ``from_pretrained_stage1_yuying``): the bin is ``{'model': {...}}``
     with ``query_tokens`` / ``ln_vision.*`` / ``Qformer.*`` keys."""
-    if "model" in sd and not any("." in k for k in sd if k == "model"):
+    if "model" in sd and not any("." in k for k in sd if k != "model"):
         inner = sd["model"]
         if isinstance(inner, dict):
             sd = inner
@@ -511,13 +511,30 @@ def main(argv=None):
     p.add_argument("--int8", action="store_true",
                    help="weight-only int8 projection kernels "
                         "(quantize_llama_params; llama/agent families)")
+    p.add_argument("--added_tokens_json", default=None,
+                   help="released tokenizer's added_tokens.json; if its 66 "
+                        "multimodal tokens were saved in a different order "
+                        "than special_tokens(), embed/lm_head rows 32000+ "
+                        "are permuted to the canonical layout "
+                        "(llama/agent families)")
     a = p.parse_args(argv)
+
+    added_tokens = None
+    if a.added_tokens_json:
+        import json
+
+        if a.family not in ("llama", "agent"):
+            p.error("--added_tokens_json applies to the llama/agent families")
+        with open(a.added_tokens_json) as f:
+            added_tokens = json.load(f)
 
     sd = load_torch_state_dict(a.input)
     conv = {
         "qwen_vit": lambda: convert_qwen_vit(sd, layers=a.num_layers or 48),
-        "llama": lambda: convert_llama(sd, num_layers=a.num_layers or 32),
-        "agent": lambda: convert_agent(sd, num_layers=a.num_layers or 32),
+        "llama": lambda: convert_llama(sd, num_layers=a.num_layers or 32,
+                                       added_tokens=added_tokens),
+        "agent": lambda: convert_agent(sd, num_layers=a.num_layers or 32,
+                                       added_tokens=added_tokens),
         "sdxl_unet": lambda: convert_sdxl_unet(sd),
         "sdxl_vae": lambda: convert_sdxl_vae(sd),
         "detokenizer": lambda: convert_detokenizer(sd),

@@ -300,6 +300,50 @@ def test_ip_adapter_legacy_bin(ref_path):
 # ---------------------------------------------------------------------
 
 
+def test_converter_cli_added_tokens_json(tmp_path):
+    """--added_tokens_json plumbs the released tokenizer order through the
+    CLI: rows 32000+ are permuted to canonical without hand-calling the
+    library (previously the flag did not exist and the CLI converted such
+    checkpoints silently wrong)."""
+    import json
+
+    import torch
+
+    from seed_story_tpu.data.tokenizer import (
+        BOI_TOKEN,
+        BOI_TOKEN_ID,
+        LLAMA_VOCAB_SIZE,
+        special_tokens,
+    )
+    import orbax.checkpoint as ocp
+
+    from seed_story_tpu.tools.convert_torch_weights import main
+
+    specials = special_tokens()
+    shuffled = [specials[1]] + specials[:1:-1] + [specials[0]]
+    added = {tok: LLAMA_VOCAB_SIZE + i for i, tok in enumerate(shuffled)}
+    (tmp_path / "added_tokens.json").write_text(json.dumps(added))
+
+    w = np.arange(32066, dtype=np.float32)[:, None].repeat(2, axis=1)
+    sd = {
+        "model.embed_tokens.weight": torch.tensor(w),
+        "lm_head.weight": torch.tensor(w + 0.5),
+        "model.norm.weight": torch.ones(2),
+    }
+    torch.save(sd, tmp_path / "model.pt")
+    out = tmp_path / "out"
+    main([
+        "--family", "llama", "--input", str(tmp_path / "model.pt"),
+        "--output", str(out), "--num_layers", "0",
+        "--added_tokens_json", str(tmp_path / "added_tokens.json"),
+    ])
+    import os
+
+    params = ocp.PyTreeCheckpointer().restore(os.path.abspath(str(out)))
+    emb = np.asarray(params["model"]["embed_tokens"]["embedding"])
+    assert emb[BOI_TOKEN_ID, 0] == added[BOI_TOKEN]
+
+
 def test_added_token_permutation_and_llama_remap():
     from seed_story_tpu.data.tokenizer import (
         BOI_TOKEN,

@@ -73,6 +73,33 @@ def test_fast_tokenizer_canonical_layout(tmp_path):
     assert BOI_TOKEN in text and EOI_TOKEN in text
 
 
+def test_validate_canonical_layout_rejects_shuffled():
+    """The layout validator fails loudly on non-canonical added-token ids
+    (reachable via the slow sentencepiece path's added_tokens.json order;
+    fast tokenizer.json assets re-derive ids and cannot be shuffled) and
+    points at the converter permutation."""
+    from seed_story_tpu.data.tokenizer import (
+        special_tokens,
+        validate_canonical_layout,
+    )
+
+    specials = special_tokens()
+    canonical = {t: LLAMA_VOCAB_SIZE + i for i, t in enumerate(specials)}
+    shuffled = {t: LLAMA_VOCAB_SIZE + (len(specials) - 1 - i)
+                for i, t in enumerate(specials)}
+
+    class Stub:
+        def __init__(self, mapping):
+            self.mapping = mapping
+
+        def convert_tokens_to_ids(self, t):
+            return self.mapping[t]
+
+    validate_canonical_layout(Stub(canonical))  # no raise
+    with pytest.raises(ValueError, match="added_tokens_json"):
+        validate_canonical_layout(Stub(shuffled), origin="released-asset")
+
+
 def test_fast_tokenizer_saved_roundtrip(tmp_path):
     """A directory saved WITH the added tokens (what the reference ships as
     'cvlm_llama2_tokenizer') loads without re-adding and keeps the ids."""
