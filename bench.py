@@ -344,6 +344,10 @@ def main():
     # first few carry short prompts).
     n_segments = int(os.environ.get("SEED_STORY_BENCH_SEGMENTS", "8"))
 
+    # a full axon-tunnel outage makes this import HANG (CLAUDE.md); say so
+    # up front so a stalled driver log shows the cause
+    print("bench: importing jax (axon) — a hang here means the TPU tunnel "
+          "is down, not a framework issue", file=sys.stderr, flush=True)
     import jax
 
     # persistent compile cache: repeated driver runs skip the (slow) remote
