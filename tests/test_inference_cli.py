@@ -194,3 +194,13 @@ def test_vis_george_sink_cli(ws, tmp_path):
     assert len(open(os.path.join(folder2, "text.txt")).readlines()) == n_lines
     jpgs2 = [f for f in os.listdir(folder2) if f.endswith(".jpg")]
     assert sorted(jpgs2) == sorted(jpgs)
+
+    # TP decode + pooled de-tok: the sink cache threads back through a
+    # sharded generator (the full multi-chip vis layout)
+    out3 = tmp_path / "out_vis_tp"
+    main([a if a != str(out) else str(out3) for a in argv]
+         + ["--decode_tp", "2", "--detok_devices", "2"])
+    folder3 = str(out3 / "val_0")
+    assert os.path.isfile(os.path.join(folder3, "text.txt"))
+    assert [f for f in os.listdir(folder3)
+            if f.endswith(".jpg") and not f.startswith("000")]
