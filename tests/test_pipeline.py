@@ -159,3 +159,53 @@ def test_story_pipeline_window_eviction_runs():
     stripped = prompt[eoi_idx + len(EOI_TOKEN) + len("[INST]"):]
     assert stripped.startswith("text1")
     assert stripped.count(EOI_TOKEN) == 4
+
+
+def test_story_pipeline_25_segments_window8():
+    """The reference's full story envelope (story_len 25, window 8,
+    gen_george.py:205-239) runs functionally end to end on the pico
+    config: 24 image segments, monotone indices, and the context never
+    grows past the window-8 prompt budget (steady-state eviction)."""
+    acfg = AgentConfig.tiny()
+    agent = ContinuousLVLM(acfg)
+    tok = TinyTokenizer()
+    seq, n = 64, 1
+    init_args = dict(
+        input_ids=jnp.ones((1, seq), jnp.int32),
+        attention_mask=jnp.ones((1, seq), jnp.int32),
+        labels=jnp.zeros((1, seq), jnp.int32),
+        image_embeds=jnp.zeros((n, acfg.num_vit_tokens, acfg.vit_dim)),
+        embeds_gen_mask=jnp.ones((n,), bool),
+        embeds_cmp_mask=jnp.ones((n,), bool),
+        ids_gen_mask=jnp.zeros((1, seq), bool).at[0, 10:19].set(True),
+        ids_cmp_mask=jnp.zeros((1, seq), bool).at[0, 30:34].set(True),
+    )
+    params = agent.init(jax.random.PRNGKey(7), **init_args)["params"]
+    gcfg = GenerateConfig(
+        max_new_tokens=24,
+        num_img_gen_tokens=acfg.num_img_out_tokens,
+        cache_capacity=1024,
+        prompt_bucket=64,
+        force_boi_at=8,  # random weights: force every segment's image
+        max_context_images=8,
+    )
+
+    def visual_encode(pixels):
+        return np.zeros((1, acfg.num_vit_tokens, acfg.vit_dim), np.float32)
+
+    pipe = StoryGenerationPipeline(
+        tok, StoryGenerator(agent, params, gcfg), visual_encode, None,
+        StoryPipelineConfig(story_len=25, window_size=8,
+                            num_img_in_tokens=acfg.num_img_in_tokens),
+    )
+    segs = list(pipe.run(np.zeros((1, 3, 8, 8), np.float32), "a long story"))
+    with_feats = [s for s in segs if s.image_features is not None]
+    assert len(with_feats) == 24, len(segs)
+    assert [s.index for s in with_feats] == list(range(1, 25))
+    # steady state: every prompt stays within the window-8 token budget
+    max_ctx = max(s.context_tokens for s in segs)
+    per_seg = gcfg.max_new_tokens + 3 * acfg.num_img_in_tokens  # generous
+    assert max_ctx <= 16 + 8 * per_seg, (max_ctx, per_seg)
+    # eviction really engaged (contexts stopped growing)
+    late = [s.context_tokens for s in segs[-8:]]
+    assert max(late) - min(late) <= per_seg, late
