@@ -24,9 +24,12 @@ jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 from seed_story_tpu.models.discrete import DiscreteConfig, DiscreteModelDistill
 from seed_story_tpu.models.vit import ViTConfig, VisionTransformerWithAttnPool
 
-B = 32  # images/step/chip (reference stage-1 trains on single frames)
+import os
 
-vit_cfg = ViTConfig(dtype=jnp.bfloat16, param_dtype=jnp.bfloat16)
+B = int(os.environ.get("S1_B", "32"))  # images/step/chip
+_L = int(os.environ.get("S1_LAYERS", "48"))  # full ViT-bigG by default
+
+vit_cfg = ViTConfig(layers=_L, dtype=jnp.bfloat16, param_dtype=jnp.bfloat16)
 vit = VisionTransformerWithAttnPool(vit_cfg)
 px = jnp.zeros((B, 3, vit_cfg.image_size, vit_cfg.image_size), jnp.float32)
 t0 = time.time()
