@@ -157,7 +157,6 @@ class CrossAttention(nn.Module):
     query_dim: int
     heads: int
     dim_head: int
-    kv_dim: Optional[int] = None
     dtype: Dtype = jnp.bfloat16
     param_dtype: Dtype = jnp.float32
 
@@ -211,7 +210,6 @@ class BasicTransformerBlock(nn.Module):
     dim: int
     heads: int
     dim_head: int
-    cross_dim: int
     dtype: Dtype = jnp.bfloat16
     param_dtype: Dtype = jnp.float32
 
@@ -225,7 +223,7 @@ class BasicTransformerBlock(nn.Module):
         h = nn.LayerNorm(dtype=jnp.float32, param_dtype=self.param_dtype,
                          name="norm2")(x.astype(jnp.float32)).astype(self.dtype)
         x = x + CrossAttention(self.dim, self.heads, self.dim_head,
-                               kv_dim=self.cross_dim, dtype=self.dtype,
+                               dtype=self.dtype,
                                param_dtype=self.param_dtype, name="attn2")(h, context)
         h = nn.LayerNorm(dtype=jnp.float32, param_dtype=self.param_dtype,
                          name="norm3")(x.astype(jnp.float32)).astype(self.dtype)
@@ -252,7 +250,7 @@ class Transformer2DModel(nn.Module):
                      name="proj_in")(y)  # use_linear_projection
         for i in range(self.n_layers):
             y = BasicTransformerBlock(
-                c, heads, cfg.attention_head_dim, cfg.cross_attention_dim,
+                c, heads, cfg.attention_head_dim,
                 dtype=cfg.dtype, param_dtype=cfg.param_dtype,
                 name=f"transformer_blocks_{i}",
             )(y, context)

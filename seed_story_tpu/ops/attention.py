@@ -20,9 +20,10 @@ Masking rule for query row ``i`` (0-based within this call) and key ``j``:
 Defaults ``q_start = Skv - Sq`` and ``kv_len = Skv`` make ``causal=True``
 the standard causal mask when Sq == Skv.
 
-Implementation: a Pallas flash-attention (online softmax) forward kernel on
-TPU, with a jnp reference used (a) on CPU, (b) for the backward pass via
-``jax.custom_vjp`` recomputation. GQA is supported by indexing KV heads
+Implementation: Pallas flash-attention kernels on TPU for BOTH the forward
+(online softmax) and the backward pass (dq and dkv kernels re-using the
+forward LSE — see ``_mha_bwd_*`` below); ``mha_reference`` is the jnp
+ground truth and the CPU fallback. GQA is supported by indexing KV heads
 inside the BlockSpec index map — KV is never materialised repeated.
 """
 

@@ -51,6 +51,102 @@ def chunk_files(input_pattern: str, output_file: str, chunk_size: int = 10):
 
 
 # ---------------------------------------------------------------------
+# build_story.py (v1 — caption/subtitle text pipeline)
+# ---------------------------------------------------------------------
+
+# Verbatim v1 protocol string (reference build_story.py:18-27) — like the
+# v2/STORY instructions below, the text IS the dataset-construction
+# protocol, so it is kept word for word.
+V1_PROMPT = """
+Create a connected story from the captions of these 'Curious George' cartoon keyframes, following these guidelines:
+
+1. Ensure each part of the story aligns with its corresponding image caption.
+2. Include "George" in the narrative whenever the caption mentions a monkey.
+3. The story should flow logically from one image to the next, using child-friendly language.
+4. Format the output as: [filename.jpg]->[narrative], with each image and its story on a separate line.
+5. Directly provide the requested output without including this instruction conversation.
+6. The overall story should be cohesive and engaging.
+"""
+
+# v1 line grammar (reference build_story.py:66-71): non-greedy prefix up to
+# the FIRST literal ".jpg->"; the path is group(1)+".jpg". Kept exactly —
+# e.g. a bracketed "[file.jpg]->[story]" line does NOT match, same as the
+# reference.
+V1_LINE = re.compile(r"(.*?)\.jpg->(.*)")
+
+
+def extract_v1_lines(gpt_output: str):
+    """'filename.jpg->narrative' lines -> (image_paths, captions)
+    (reference build_story.py:55-74)."""
+    image_paths, captions = [], []
+    for line in gpt_output.strip().split("\n"):
+        m = V1_LINE.match(line.strip())
+        if m:
+            image_paths.append(m.group(1) + ".jpg")
+            captions.append(m.group(2).strip())
+    return image_paths, captions
+
+
+def build_v1_story(description_lines: List[str], story_id: int,
+                   subtitle: Optional[str] = None, client=None,
+                   model: str = "gpt-4-1106-preview") -> Optional[Dict]:
+    """One v1 GPT call over a batch of caption-jsonl lines -> story record.
+
+    Mirrors reference build_story.py:125-156: the raw jsonl lines are joined
+    with spaces and appended to the prompt ('Image Descriptions'); when a
+    subtitle blob is given (the reference's ``with_subtitle`` variant,
+    :16,133-134) it is appended after the descriptions; output is parsed with
+    the v1 line grammar into {id, images, captions, orders}.
+    """
+    client = client or default_client()
+    content = V1_PROMPT + "Image Descriptions: \n" + " ".join(description_lines)
+    if subtitle is not None:
+        content += "Subtitles: \n" + subtitle
+    messages = [{"role": "user", "content": content}]
+    res = api_call(client, messages, model=model, temperature=0.3)
+    if not res:
+        return None
+    image_paths, captions = extract_v1_lines(res)
+    return {
+        "id": story_id,
+        "images": image_paths,
+        "captions": captions,
+        "orders": list(range(len(image_paths))),
+    }
+
+
+def build_stories_v1(description_path: str, output_path: str, client=None,
+                     story_len: int = 30,
+                     subtitles: Optional[List[str]] = None,
+                     model: str = "gpt-4-1106-preview") -> int:
+    """Full v1 pipeline (reference build_story.py:94-122): batch the caption
+    jsonl into ``story_len``-line groups (the ragged tail is also processed),
+    one GPT call per group, append one story record per group.
+
+    Deliberate deviation: records are written with ``json.dumps`` — the
+    reference writes ``str(dict)`` (python repr, single quotes), which its
+    own jsonl readers cannot parse back; valid JSON is what the published
+    StoryStream files actually contain.
+    """
+    client = client or default_client()
+    os.makedirs(os.path.dirname(output_path) or ".", exist_ok=True)
+    with open(description_path, encoding="utf-8") as f:
+        lines = [ln.strip() for ln in f if ln.strip()]
+    written = 0
+    for start in range(0, len(lines), story_len):
+        batch = lines[start : start + story_len]
+        subtitle = subtitles[start // story_len] if subtitles else None
+        record = build_v1_story(batch, story_id=written, subtitle=subtitle,
+                                client=client, model=model)
+        if record is None:
+            continue
+        with open(output_path, "a", encoding="utf-8") as f:
+            f.write(json.dumps(record) + "\n")
+        written += 1
+    return written
+
+
+# ---------------------------------------------------------------------
 # build_story_v2.py
 # ---------------------------------------------------------------------
 
@@ -204,8 +300,16 @@ if __name__ == "__main__":
     b = sub.add_parser("build")
     b.add_argument("--image_dir", required=True)
     b.add_argument("--output", required=True)
+    v1 = sub.add_parser("build_v1")
+    v1.add_argument("--captions", required=True,
+                    help="captions.jsonl (gpt4v descriptive lines)")
+    v1.add_argument("--output", required=True)
+    v1.add_argument("--story_len", type=int, default=30)
     a = p.parse_args()
     if a.cmd == "chunk":
         print(chunk_files(a.input, a.output, a.chunk_size), "chunks written")
+    elif a.cmd == "build_v1":
+        print(build_stories_v1(a.captions, a.output, story_len=a.story_len),
+              "stories written")
     else:
         print(build_stories(a.image_dir, a.output), "stories written")

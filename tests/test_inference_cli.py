@@ -7,6 +7,8 @@ import json
 import os
 
 import pytest
+
+pytestmark = pytest.mark.slow
 from PIL import Image
 
 

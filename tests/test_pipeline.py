@@ -3,6 +3,7 @@ loop — text + forced image blocks + feature feedback + window eviction —
 with a stub de-tokenizer."""
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -161,6 +162,7 @@ def test_story_pipeline_window_eviction_runs():
     assert stripped.count(EOI_TOKEN) == 4
 
 
+@pytest.mark.slow
 def test_story_pipeline_25_segments_window8():
     """The reference's full story envelope (story_len 25, window 8,
     gen_george.py:205-239) runs functionally end to end on the pico

@@ -319,7 +319,7 @@ def test_unet_cross_attention_matches_torch_sdpa():
         a = F.scaled_dot_product_attention(q, k, v)
         ref = o_l(a.transpose(1, 2).reshape(2, 9, heads * dim_head))
 
-    attn = CrossAttention(dim, heads, dim_head, kv_dim=cross, dtype=jnp.float32)
+    attn = CrossAttention(dim, heads, dim_head, dtype=jnp.float32)
     params = {
         "to_q": {"kernel": jnp.asarray(q_l.weight.detach().numpy().T)},
         "to_k": {"kernel": jnp.asarray(k_l.weight.detach().numpy().T)},

@@ -254,3 +254,122 @@ def test_convert_llama_int8_scan_layout_close_to_hf():
         axis=-1,
     )
     assert float(np.mean(kl)) < 5e-3, float(np.mean(kl))
+
+
+def _fake_client(reply):
+    class FakeCompletions:
+        def __init__(self):
+            self.calls = []
+
+        def create(self, **kw):
+            self.calls.append(kw)
+
+            class R:
+                pass
+
+            r = R()
+            msg = R(); msg.content = reply
+            choice = R(); choice.message = msg
+            r.choices = [choice]
+            return r
+
+    class FakeClient:
+        def __init__(self):
+            self.chat = type("C", (), {})()
+            self.chat.completions = FakeCompletions()
+
+    return FakeClient()
+
+
+def test_storystream_v1_builder(tmp_path):
+    """v1 build_story pipeline (reference StoryStream/build_story.py):
+    caption-jsonl lines batched into story_len groups, the v1 prompt +
+    'Image Descriptions' content, '[file].jpg->[narrative]' line grammar,
+    {id, images, captions, orders} records."""
+    import json
+
+    from seed_story_tpu.tools.storystream import (
+        V1_PROMPT,
+        build_stories_v1,
+        extract_v1_lines,
+    )
+
+    # line grammar: non-greedy up to the FIRST '.jpg->'; bracketed file
+    # names do NOT match (reference build_story.py:66-71)
+    paths, caps = extract_v1_lines(
+        "frame_001.jpg->George climbed the tall tree.\n"
+        "noise line without arrow\n"
+        "frame_002.jpg-> He waved at the man in the yellow hat. \n"
+        "[frame_003.jpg]->[bracketed lines do not match]\n"
+    )
+    assert paths == ["frame_001.jpg", "frame_002.jpg"]
+    assert caps == ["George climbed the tall tree.",
+                    "He waved at the man in the yellow hat."]
+
+    captions = tmp_path / "captions.jsonl"
+    with open(captions, "w") as f:
+        for i in range(5):
+            f.write(json.dumps({"image": f"frame_{i:03d}.jpg",
+                                "caption": f"a monkey does thing {i}"}) + "\n")
+
+    reply = ("frame_000.jpg->George starts the day.\n"
+             "frame_001.jpg->George finds a kite.")
+    client = _fake_client(reply)
+    out = tmp_path / "story.jsonl"
+    # story_len=3 over 5 lines -> 2 batches incl. the ragged tail (ref :117-122)
+    n = build_stories_v1(str(captions), str(out), client=client, story_len=3)
+    assert n == 2
+    calls = client.chat.completions.calls
+    assert len(calls) == 2
+    content = calls[0]["messages"][0]["content"]
+    assert content.startswith(V1_PROMPT)
+    assert "Image Descriptions: \n" in content
+    assert "frame_002.jpg" in content  # raw jsonl lines joined into content
+    assert "Subtitles" not in content  # with_subtitle off by default
+
+    records = [json.loads(l) for l in open(out)]
+    assert [r["id"] for r in records] == [0, 1]
+    for r in records:
+        assert r["images"] == ["frame_000.jpg", "frame_001.jpg"]
+        assert r["orders"] == [0, 1]
+
+    # with_subtitle variant appends the subtitle blob (ref :133-134)
+    client2 = _fake_client(reply)
+    build_stories_v1(str(captions), str(tmp_path / "s2.jsonl"), client=client2,
+                     story_len=5, subtitles=["SUB TEXT"])
+    content2 = client2.chat.completions.calls[0]["messages"][0]["content"]
+    assert content2.endswith("Subtitles: \nSUB TEXT")
+
+
+def test_storystream_v2_grammar_and_chunk(tmp_path):
+    """v2 grammar parser + 30->3x10 chunker (reference build_story_v2.py:167-192,
+    chunk_data.py:4-22)."""
+    import json
+
+    from seed_story_tpu.tools.storystream import (
+        chunk_files,
+        convert_to_jsonl,
+        split_entries,
+    )
+
+    line = convert_to_jsonl(
+        "preamble {{a.jpg->one@@b.jpg->two@@c.jpg->three}} trailer")
+    rec = json.loads(line)
+    assert rec == {"images": ["a.jpg", "b.jpg", "c.jpg"],
+                   "captions": ["one", "two", "three"]}
+    assert convert_to_jsonl("no grammar here") is None
+
+    entries = [{"images": [f"f{i}.jpg" for i in range(30)],
+                "captions": [f"c{i}" for i in range(30)]},
+               # ragged: mismatched lengths are skipped entirely
+               {"images": ["x.jpg"], "captions": []}]
+    chunks = split_entries(entries, chunk_size=10)
+    assert len(chunks) == 3
+    assert chunks[0]["images"] == [f"f{i}.jpg" for i in range(10)]
+    assert chunks[2]["captions"] == [f"c{i}" for i in range(20, 30)]
+
+    src = tmp_path / "in.jsonl"
+    with open(src, "w") as f:
+        f.write(json.dumps(entries[0]) + "\n")
+    out = tmp_path / "out.jsonl"
+    assert chunk_files(str(src), str(out), 10) == 3

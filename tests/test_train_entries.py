@@ -7,6 +7,8 @@ import os
 import jax
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.slow
 from PIL import Image
 
 
