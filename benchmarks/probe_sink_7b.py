@@ -4,6 +4,7 @@ Drives StoryVisualizationPipeline (ground-truth texts, generated image
 features, cache threading + sink evictions) for a story long enough to
 trigger multiple evictions — the vis_george_sink flow at flagship scale.
 """
+import os
 import sys; sys.path.insert(0, "/root/repo")
 import time
 
@@ -23,7 +24,10 @@ from seed_story_tpu.pipelines.story_visualization import (
     VisPipelineConfig,
 )
 
-SEGMENTS, WINDOW, MAX_NEW = 12, 4, 200
+SEGMENTS = int(os.environ.get("SINK_SEGMENTS", "12"))
+WINDOW = int(os.environ.get("SINK_WINDOW", "4"))
+MAX_NEW = int(os.environ.get("SINK_MAX_NEW", "200"))
+WITH_SDXL = os.environ.get("SINK_SDXL", "0") == "1"  # in-loop int8 detok
 
 acfg = AgentConfig(llm=LlamaConfig(
     dtype=jnp.bfloat16, param_dtype=jnp.bfloat16, lora_rank=16,
@@ -58,6 +62,23 @@ gcfg = GenerateConfig(
 gen = StoryGenerator(agent, params, gcfg)
 rng = np.random.RandomState(0)
 
+detok = None
+detok_time = [0.0]
+if WITH_SDXL:
+    # co-resident int8-UNet de-tokenizer inside the visualization loop
+    sys.path.insert(0, "/root/repo")
+    from bench import build_sdxl_pipe
+
+    sdxl_pipe, neg = build_sdxl_pipe(acfg, 50, int8=True)
+    warm = np.zeros((1, acfg.num_vit_tokens, acfg.vit_dim), np.float32)
+    assert sdxl_pipe.generate(warm, neg)[0] is not None
+
+    def detok(f):
+        t0 = time.perf_counter()
+        img = sdxl_pipe.generate(f, neg)[0]
+        detok_time[0] += time.perf_counter() - t0
+        return img
+
 
 def visual_encode(pixels):
     return rng.randn(1, acfg.num_vit_tokens, acfg.vit_dim).astype(np.float32)
@@ -66,9 +87,9 @@ def visual_encode(pixels):
 texts = [f"then george visited place number {i} in the city" for i in range(SEGMENTS + 1)]
 
 
-def run():
+def run(with_detok=False):
     pipe = StoryVisualizationPipeline(
-        tok, gen, visual_encode, None,
+        tok, gen, visual_encode, detok if with_detok else None,
         VisPipelineConfig(story_len=SEGMENTS + 1, window_size=WINDOW,
                           num_img_in_tokens=acfg.num_img_in_tokens),
     )
@@ -76,12 +97,16 @@ def run():
                          "george the monkey in the big city", texts))
 
 
-segs = run()  # warmup/compile
+segs = run()  # warmup/compile (decode programs; detok warmed separately)
+detok_time[0] = 0.0
 t0 = time.perf_counter()
-segs = run()
+segs = run(with_detok=WITH_SDXL)
 dt = time.perf_counter() - t0
 evictions = max(0, len(segs) - WINDOW)
 print(f"sink story: {len(segs)} segments ({evictions}+ evictions, window-{WINDOW}) "
       f"in {dt:.1f} s -> {dt/len(segs):.2f} s/segment; "
-      f"context tokens at end: {segs[-1].context_tokens}", flush=True)
+      f"context tokens at end: {segs[-1].context_tokens}"
+      + (f"; in-loop SDXL {detok_time[0]:.1f} s "
+         f"({detok_time[0]/len(segs):.2f} s/seg)" if WITH_SDXL else ""),
+      flush=True)
 assert all(s.image_features is not None for s in segs)

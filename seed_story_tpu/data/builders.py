@@ -126,6 +126,64 @@ def build_t2i_datapipe(
     return StoryDataPipe(ds, batch_size)
 
 
+class MultiStoryDataPipe:
+    """Stateful weighted mix of datapipes (== SampleMultiplexer) that
+    SUPPORTS data-order resume.
+
+    The bare ``sample_multiplexer`` generator has no ``state()``, so the
+    runner silently skipped data-order checkpointing for every config built
+    through ``build_multi_datapipes`` — the standard stage-2/3 surface
+    (found by the on-chip kill/resume proof, round 4). Resume = (a) each
+    child fast-forwards itself via its own state (decode-skipping replay),
+    (b) the multiplexer's seeded choice stream is re-drawn ``draws`` times
+    so the child-selection sequence continues identically.
+
+    Caveat: the choice replay assumes no child exhausted during the
+    skipped prefix (training configs cycle indefinitely, so children never
+    exhaust mid-run)."""
+
+    def __init__(self, pipes, weights, seed=0):
+        self.pipes = list(pipes)
+        self.weights = list(weights)
+        self.seed = seed
+        self._draws = 0
+        self._pending_draws = 0
+
+    def state(self):
+        return {
+            "draws": self._draws,
+            "children": [p.state() if hasattr(p, "state") else None
+                         for p in self.pipes],
+        }
+
+    def set_state(self, state):
+        self._pending_draws = int(state["draws"])
+        for p, cs in zip(self.pipes, state.get("children", [])):
+            if cs is not None and hasattr(p, "set_state"):
+                p.set_state(cs)
+
+    def __iter__(self):
+        import random
+
+        its = [iter(p) for p in self.pipes]
+        weights = list(self.weights)
+        rng = random.Random(self.seed)
+        self._draws = 0
+        for _ in range(self._pending_draws):
+            rng.choices(range(len(its)), weights=weights, k=1)
+            self._draws += 1
+        self._pending_draws = 0
+        while its:
+            i = rng.choices(range(len(its)), weights=weights, k=1)[0]
+            try:
+                sample = next(its[i])
+            except StopIteration:
+                del its[i], weights[i]
+                continue
+            self._draws += 1
+            yield sample
+
+
 def build_multi_datapipes(
     datapipes: List,
     tokenizer=None,
@@ -150,4 +208,4 @@ def build_multi_datapipes(
     if sample_weights is None:
         sample_weights = [1.0] * len(built)
     assert len(sample_weights) == len(built)
-    return sample_multiplexer(built, sample_weights, seed=seed)
+    return MultiStoryDataPipe(built, sample_weights, seed=seed)

@@ -176,6 +176,13 @@ class JsonlStoryDataset:
         return shard_for_host(files, self.host_index, self.host_count)
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        # each __iter__ RESTARTS the stream from epoch 0, so the position
+        # counter must restart with it (while preserving a pending
+        # set_state fast-forward). Without this, a shape-probe batch drawn
+        # from a throwaway iterator (train_clm_sft abstract init) inflates
+        # the checkpointed position and resume skips one batch too far —
+        # found by the on-chip kill/resume proof (round 4).
+        self._records_consumed = 0
         for epoch in itertools.count():
             rng = random.Random(f"{self.seed}:sample:{epoch}")
             buf: List[Dict[str, Any]] = []

@@ -101,6 +101,7 @@ def build_stack(
     batch_stories: int = 1,
     pipelined_detok: bool = False,
     decode_tp: int = 0,
+    sdxl_int8: bool = False,
 ) -> InferenceStack:
     import jax
     import jax.numpy as jnp
@@ -186,6 +187,16 @@ def build_stack(
         from ..pipelines.sdxl_pipeline import SDXLImagePipeline, SDXLSampleConfig
 
         adapter_cfg = instantiate(load_config(adapter_cfg_path))
+        if sdxl_int8:
+            # weight-only int8 UNet (models/sdxl/unet.py QUANTIZED_MODULES):
+            # ~2.4GB less HBM streaming per eval and ~2.4GB smaller resident
+            # footprint; output divergence bound pinned in
+            # tests/test_sdxl_parity.py::test_unet_int8_close_to_float
+            import dataclasses as _dc
+
+            adapter_cfg = _dc.replace(
+                adapter_cfg, unet=_dc.replace(adapter_cfg.unet, quantize=True)
+            )
         adapter = SDXLAdapter(adapter_cfg)
         vae_cfg = (instantiate(load_config(vae_cfg_path)) if vae_cfg_path
                    else VAEConfig(dtype=adapter_cfg.unet.dtype))
@@ -201,7 +212,30 @@ def build_stack(
             time_ids=jnp.ones((b, 6)),
             noise=jnp.zeros((b, lat, lat, 4)))["params"])
         if adapter_ckpt:
-            adapter_params = load_params_partial(adapter_ckpt, adapter_params)
+            if sdxl_int8:
+                # checkpoints carry the float layout: load into a float
+                # adapter tree, quantize the UNet subtree in one jit, keep
+                # everything else (resampler, ip to_k/to_v) as loaded.
+                # Transient device peak: float UNet + int8 copy (~7.7GB at
+                # SDXL-base) — freed before the 1024px pipeline compiles.
+                from ..models.sdxl.unet import quantize_unet_params
+
+                float_cfg = instantiate(load_config(adapter_cfg_path))
+                float_adapter = SDXLAdapter(float_cfg)
+                float_params = jinit(lambda: float_adapter.init(
+                    jax.random.PRNGKey(2),
+                    noisy_latents=jnp.zeros((b, lat, lat, 4)),
+                    timesteps=jnp.zeros((b,), jnp.int32),
+                    image_embeds=jnp.zeros(
+                        (b, agent_cfg.num_vit_tokens,
+                         adapter_cfg.embedding_dim)),
+                    time_ids=jnp.ones((b, 6)),
+                    noise=jnp.zeros((b, lat, lat, 4)))["params"])
+                loaded = load_params_partial(adapter_ckpt, float_params)
+                loaded["unet"] = jax.jit(quantize_unet_params)(loaded["unet"])
+                adapter_params = loaded
+            else:
+                adapter_params = load_params_partial(adapter_ckpt, adapter_params)
         vae_params = jinit(lambda: vae.init(
             jax.random.PRNGKey(3),
             jnp.zeros((1, 2 ** (len(vae_cfg.block_out_channels) - 1) * 4,

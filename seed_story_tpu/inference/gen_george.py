@@ -51,6 +51,11 @@ def parse_args(argv=None):
                         "on-device program (lockstep batched decode; ~3.3x "
                         "story throughput at N=4 on 7B — PERF.md). 1 = the "
                         "reference's sequential behavior.")
+    p.add_argument("--sdxl_int8", action="store_true",
+                   help="weight-only int8 UNet projections/convs (per-"
+                        "output-channel scales, quantize_unet_params): "
+                        "~2.4GB less streaming + footprint per image; "
+                        "divergence bound pinned in test_sdxl_parity")
     p.add_argument("--decode_tp", type=int, default=0,
                    help="tensor-parallel decode over the FIRST N visible "
                         "devices (fsdp_tp preset; pairs with "
@@ -84,6 +89,7 @@ def main(argv=None):
         batch_stories=args.batch_stories,
         pipelined_detok=args.detok_devices > 0,
         decode_tp=args.decode_tp,
+        sdxl_int8=args.sdxl_int8,
     )
 
     serving = args.detok_devices > 0 and stack.detok_factory is not None

@@ -44,6 +44,11 @@ def parse_args(argv=None):
     p.add_argument("--no_images", action="store_true")
     p.add_argument("--force_boi_at", type=int, default=None)
     p.add_argument("--max_stories", type=int, default=None)
+    p.add_argument("--sdxl_int8", action="store_true",
+                   help="weight-only int8 UNet projections/convs (per-"
+                        "output-channel scales, quantize_unet_params): "
+                        "~2.4GB less streaming + footprint per image; "
+                        "divergence bound pinned in test_sdxl_parity")
     p.add_argument("--decode_tp", type=int, default=0,
                    help="tensor-parallel decode over the FIRST N visible "
                         "devices (pairs with --detok_devices). 0/1 = "
@@ -73,6 +78,7 @@ def main(argv=None):
         image_size=args.image_size,
         force_boi_at=args.force_boi_at,
         decode_tp=args.decode_tp,
+        sdxl_int8=args.sdxl_int8,
     )
     serving = args.detok_devices > 0 and stack.detok_factory is not None
     pipe = StoryVisualizationPipeline(

@@ -38,6 +38,136 @@ def _init(axes):
     return nn.with_logical_partitioning(nn.initializers.lecun_normal(), axes)
 
 
+class QDense(nn.Module):
+    """nn.Dense with optional weight-only int8 storage.
+
+    ``quantize=False`` is parameter- and numerics-identical to ``nn.Dense``
+    (same param names/shapes/init, same dtype promotion), so the bf16 param
+    tree, the weight converters, and the pinned golden tests are unchanged.
+    ``quantize=True`` stores ``kernel`` int8 with a per-output-channel
+    ``kernel_scale`` (the ``LoRADense quantize`` recipe, llama.py:277-294):
+    HBM streams the int8 bytes, the MXU sees ``dtype``. Inference-only —
+    the UNet is frozen in every reference training stage.
+    """
+
+    features: int
+    use_bias: bool = True
+    quantize: bool = False
+    kernel_init: Any = nn.linear.default_kernel_init
+    dtype: Dtype = jnp.bfloat16
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        in_features = x.shape[-1]
+        if self.quantize:
+            kernel = self.param("kernel", nn.initializers.zeros,
+                                (in_features, self.features), jnp.int8)
+            scale = self.param("kernel_scale", nn.initializers.ones,
+                               (self.features,), self.param_dtype)
+            y = jnp.dot(x.astype(self.dtype), kernel.astype(self.dtype))
+            y = y * scale.astype(self.dtype)
+        else:
+            kernel = self.param("kernel", self.kernel_init,
+                                (in_features, self.features), self.param_dtype)
+            y = jnp.dot(x.astype(self.dtype), kernel.astype(self.dtype))
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros,
+                              (self.features,), self.param_dtype)
+            y = y + bias.astype(self.dtype)
+        return y
+
+
+class QConv(nn.Module):
+    """nn.Conv (NHWC/HWIO) with optional weight-only int8 storage.
+
+    Per-output-channel scales commute with the convolution
+    (conv(x, W·s_cout) == conv(x, W)·s_cout), so the int8 path convs the
+    int8-cast kernel in ``dtype`` and scales the output — one multiply per
+    output channel, no bf16 weight copy in HBM. ``quantize=False`` matches
+    ``nn.Conv`` exactly. Supports the paddings this UNet uses (int or
+    'VALID') and symmetric strides.
+    """
+
+    features: int
+    kernel_size: Tuple[int, int] = (3, 3)
+    strides: Tuple[int, int] = (1, 1)
+    padding: Any = 0  # int (symmetric) or "VALID"; always set explicitly for 3x3
+    quantize: bool = False
+    kernel_init: Any = nn.linear.default_kernel_init
+    dtype: Dtype = jnp.bfloat16
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        kh, kw = self.kernel_size
+        c_in = x.shape[-1]
+        shape = (kh, kw, c_in, self.features)
+        if self.padding == "VALID":
+            padding = "VALID"
+        else:
+            p = int(self.padding)
+            padding = ((p, p), (p, p))
+        if self.quantize:
+            kernel = self.param("kernel", nn.initializers.zeros, shape, jnp.int8)
+            scale = self.param("kernel_scale", nn.initializers.ones,
+                               (self.features,), self.param_dtype)
+        else:
+            kernel = self.param("kernel", self.kernel_init, shape,
+                                self.param_dtype)
+            scale = None
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype), kernel.astype(self.dtype),
+            window_strides=self.strides, padding=padding,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        if scale is not None:
+            y = y * scale.astype(self.dtype)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,), self.param_dtype)
+        return y + bias.astype(self.dtype)
+
+
+# module names whose kernels are stored int8 under cfg.quantize — the
+# transformer projections + the resnet/sampler convs (the parameter bulk;
+# ~2.4GB of bf16 streaming per eval). The conditioning MLPs
+# (time_embedding / add_embedding / time_emb_proj) and the 4-channel
+# conv_in/conv_out edges stay bf16: tiny, applied once per eval, and the
+# most quality-sensitive.
+QUANTIZED_MODULES = frozenset({
+    "to_q", "to_k", "to_v", "to_out_0", "net_0_proj", "net_2",
+    "proj_in", "proj_out", "conv1", "conv2", "conv_shortcut", "conv",
+})
+
+
+def quantize_unet_params(params):
+    """bf16/f32 UNet param tree -> the ``cfg.quantize=True`` layout.
+
+    Every ``kernel`` directly under a module named in QUANTIZED_MODULES
+    becomes int8 with a per-output-channel ``kernel_scale`` (symmetric,
+    max|w|/127 over all non-output axes) — the same recipe as
+    ``quantize_llama_params`` (llama.py). Other leaves pass through.
+    """
+    import flax
+
+    params = nn.meta.unbox(params)
+    flat = flax.traverse_util.flatten_dict(params)
+    out = {}
+    for path, leaf in flat.items():
+        if path[-1] == "kernel" and len(path) >= 2 and \
+                path[-2] in QUANTIZED_MODULES:
+            w = jnp.asarray(leaf, jnp.float32)
+            axes = tuple(range(w.ndim - 1))
+            scale = jnp.max(jnp.abs(w), axis=axes) / 127.0
+            scale = jnp.maximum(scale, 1e-8)
+            q = jnp.clip(jnp.round(w / scale), -127, 127).astype(jnp.int8)
+            out[path] = q
+            out[path[:-1] + ("kernel_scale",)] = scale
+        else:
+            out[path] = leaf
+    return flax.traverse_util.unflatten_dict(out)
+
+
 @dataclasses.dataclass(frozen=True)
 class SDXLUNetConfig:
     in_channels: int = 4
@@ -59,6 +189,12 @@ class SDXLUNetConfig:
     projection_class_embeddings_input_dim: int = 2816  # 6*256 + 1280
     pooled_projection_dim: int = 1280
     norm_num_groups: int = 32
+    # weight-only int8 storage for the transformer projections and
+    # resnet/sampler convs (QUANTIZED_MODULES); load with
+    # quantize_unet_params. Inference-only (the UNet is frozen in every
+    # reference training stage); measured output divergence bound is
+    # pinned in tests/test_sdxl_parity.py::test_unet_int8_close_to_float.
+    quantize: bool = False
     dtype: Dtype = jnp.bfloat16
     param_dtype: Dtype = jnp.float32
 
@@ -127,10 +263,10 @@ class ResnetBlock2D(nn.Module):
                                param_dtype=cfg.param_dtype,
                                name="norm1")(x)
         h = nn.silu(h)
-        h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=cfg.dtype,
-                    param_dtype=cfg.param_dtype,
-                    kernel_init=_init((None, None, "embed_kv", "mlp")),
-                    name="conv1")(h)
+        h = QConv(self.out_channels, (3, 3), padding=1, dtype=cfg.dtype,
+                  param_dtype=cfg.param_dtype, quantize=cfg.quantize,
+                  kernel_init=_init((None, None, "embed_kv", "mlp")),
+                  name="conv1")(h)
         t = nn.Dense(self.out_channels, dtype=cfg.dtype,
                      param_dtype=cfg.param_dtype,
                      kernel_init=_init(("embed_kv", "mlp")),
@@ -141,13 +277,14 @@ class ResnetBlock2D(nn.Module):
                                param_dtype=cfg.param_dtype,
                                name="norm2")(h)
         h = nn.silu(h)
-        h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=cfg.dtype,
-                    param_dtype=cfg.param_dtype,
-                    kernel_init=_init((None, None, "embed_kv", "mlp")),
-                    name="conv2")(h)
+        h = QConv(self.out_channels, (3, 3), padding=1, dtype=cfg.dtype,
+                  param_dtype=cfg.param_dtype, quantize=cfg.quantize,
+                  kernel_init=_init((None, None, "embed_kv", "mlp")),
+                  name="conv2")(h)
         if c_in != self.out_channels:
-            x = nn.Conv(self.out_channels, (1, 1), dtype=cfg.dtype,
-                        param_dtype=cfg.param_dtype, name="conv_shortcut")(x)
+            x = QConv(self.out_channels, (1, 1), dtype=cfg.dtype,
+                      param_dtype=cfg.param_dtype, quantize=cfg.quantize,
+                      name="conv_shortcut")(x)
         return x + h
 
 
@@ -157,6 +294,7 @@ class CrossAttention(nn.Module):
     query_dim: int
     heads: int
     dim_head: int
+    quantize: bool = False
     dtype: Dtype = jnp.bfloat16
     param_dtype: Dtype = jnp.float32
 
@@ -166,50 +304,54 @@ class CrossAttention(nn.Module):
         inner = self.heads * self.dim_head
         b, lq, _ = x.shape
         lk = context.shape[1]
-        q = nn.Dense(inner, use_bias=False, dtype=self.dtype,
-                     param_dtype=self.param_dtype,
+        q = QDense(inner, use_bias=False, dtype=self.dtype,
+                     param_dtype=self.param_dtype, quantize=self.quantize,
                      kernel_init=_init(("embed_kv", "heads")), name="to_q")(x)
-        k = nn.Dense(inner, use_bias=False, dtype=self.dtype,
-                     param_dtype=self.param_dtype,
+        k = QDense(inner, use_bias=False, dtype=self.dtype,
+                     param_dtype=self.param_dtype, quantize=self.quantize,
                      kernel_init=_init(("embed_kv", "heads")), name="to_k")(context)
-        v = nn.Dense(inner, use_bias=False, dtype=self.dtype,
-                     param_dtype=self.param_dtype,
+        v = QDense(inner, use_bias=False, dtype=self.dtype,
+                     param_dtype=self.param_dtype, quantize=self.quantize,
                      kernel_init=_init(("embed_kv", "heads")), name="to_v")(context)
         q = q.reshape(b, lq, self.heads, self.dim_head).transpose(0, 2, 1, 3)
         k = k.reshape(b, lk, self.heads, self.dim_head).transpose(0, 2, 1, 3)
         v = v.reshape(b, lk, self.heads, self.dim_head).transpose(0, 2, 1, 3)
         out = mha(q, k, v, causal=False)
         out = out.transpose(0, 2, 1, 3).reshape(b, lq, inner)
-        return nn.Dense(self.query_dim, dtype=self.dtype,
-                        param_dtype=self.param_dtype,
-                        kernel_init=_init(("heads", "embed_kv")),
-                        name="to_out_0")(out)
+        return QDense(self.query_dim, dtype=self.dtype,
+                      param_dtype=self.param_dtype, quantize=self.quantize,
+                      kernel_init=_init(("heads", "embed_kv")),
+                      name="to_out_0")(out)
 
 
 class FeedForwardGEGLU(nn.Module):
     dim: int
     mult: int = 4
+    quantize: bool = False
     dtype: Dtype = jnp.bfloat16
     param_dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         inner = self.dim * self.mult
-        h = nn.Dense(inner * 2, dtype=self.dtype, param_dtype=self.param_dtype,
-                     kernel_init=_init(("embed_kv", "mlp")), name="net_0_proj")(x)
+        h = QDense(inner * 2, dtype=self.dtype, param_dtype=self.param_dtype,
+                   quantize=self.quantize,
+                   kernel_init=_init(("embed_kv", "mlp")), name="net_0_proj")(x)
         h, gate = jnp.split(h, 2, axis=-1)
         # diffusers GEGLU calls F.gelu (exact erf); jax's default tanh
         # approximation diverges by up to ~1e-3 near |x|=2 — across 50 UNet
         # evals that compounds, so match the exact form
         h = h * nn.gelu(gate, approximate=False)
-        return nn.Dense(self.dim, dtype=self.dtype, param_dtype=self.param_dtype,
-                        kernel_init=_init(("mlp", "embed_kv")), name="net_2")(h)
+        return QDense(self.dim, dtype=self.dtype, param_dtype=self.param_dtype,
+                      quantize=self.quantize,
+                      kernel_init=_init(("mlp", "embed_kv")), name="net_2")(h)
 
 
 class BasicTransformerBlock(nn.Module):
     dim: int
     heads: int
     dim_head: int
+    quantize: bool = False
     dtype: Dtype = jnp.bfloat16
     param_dtype: Dtype = jnp.float32
 
@@ -218,16 +360,18 @@ class BasicTransformerBlock(nn.Module):
         h = nn.LayerNorm(dtype=jnp.float32, param_dtype=self.param_dtype,
                          name="norm1")(x.astype(jnp.float32)).astype(self.dtype)
         x = x + CrossAttention(self.dim, self.heads, self.dim_head,
+                               quantize=self.quantize,
                                dtype=self.dtype, param_dtype=self.param_dtype,
                                name="attn1")(h)
         h = nn.LayerNorm(dtype=jnp.float32, param_dtype=self.param_dtype,
                          name="norm2")(x.astype(jnp.float32)).astype(self.dtype)
         x = x + CrossAttention(self.dim, self.heads, self.dim_head,
-                               dtype=self.dtype,
+                               quantize=self.quantize, dtype=self.dtype,
                                param_dtype=self.param_dtype, name="attn2")(h, context)
         h = nn.LayerNorm(dtype=jnp.float32, param_dtype=self.param_dtype,
                          name="norm3")(x.astype(jnp.float32)).astype(self.dtype)
-        return x + FeedForwardGEGLU(self.dim, dtype=self.dtype,
+        return x + FeedForwardGEGLU(self.dim, quantize=self.quantize,
+                                    dtype=self.dtype,
                                     param_dtype=self.param_dtype, name="ff")(h)
 
 
@@ -246,16 +390,17 @@ class Transformer2DModel(nn.Module):
                                param_dtype=cfg.param_dtype,
                                name="norm")(x)
         y = y.reshape(b, h * w, c)
-        y = nn.Dense(c, dtype=cfg.dtype, param_dtype=cfg.param_dtype,
-                     name="proj_in")(y)  # use_linear_projection
+        y = QDense(c, dtype=cfg.dtype, param_dtype=cfg.param_dtype,
+                   quantize=cfg.quantize,
+                   name="proj_in")(y)  # use_linear_projection
         for i in range(self.n_layers):
             y = BasicTransformerBlock(
-                c, heads, cfg.attention_head_dim,
+                c, heads, cfg.attention_head_dim, quantize=cfg.quantize,
                 dtype=cfg.dtype, param_dtype=cfg.param_dtype,
                 name=f"transformer_blocks_{i}",
             )(y, context)
-        y = nn.Dense(c, dtype=cfg.dtype, param_dtype=cfg.param_dtype,
-                     name="proj_out")(y)
+        y = QDense(c, dtype=cfg.dtype, param_dtype=cfg.param_dtype,
+                   quantize=cfg.quantize, name="proj_out")(y)
         return residual + y.reshape(b, h, w, c)
 
 
@@ -267,10 +412,11 @@ class Downsample2D(nn.Module):
     def __call__(self, x):
         # diffusers pads (0,1,0,1) then convs stride 2 with VALID-ish pad
         x = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0)))
-        return nn.Conv(self.channels, (3, 3), strides=(2, 2), padding="VALID",
-                       dtype=self.cfg.dtype, param_dtype=self.cfg.param_dtype,
-                       kernel_init=_init((None, None, "embed_kv", "mlp")),
-                       name="conv")(x)
+        return QConv(self.channels, (3, 3), strides=(2, 2), padding="VALID",
+                     dtype=self.cfg.dtype, param_dtype=self.cfg.param_dtype,
+                     quantize=self.cfg.quantize,
+                     kernel_init=_init((None, None, "embed_kv", "mlp")),
+                     name="conv")(x)
 
 
 class Upsample2D(nn.Module):
@@ -281,10 +427,11 @@ class Upsample2D(nn.Module):
     def __call__(self, x):
         b, h, w, c = x.shape
         x = jax.image.resize(x, (b, h * 2, w * 2, c), method="nearest")
-        return nn.Conv(self.channels, (3, 3), padding=1, dtype=self.cfg.dtype,
-                       param_dtype=self.cfg.param_dtype,
-                       kernel_init=_init((None, None, "embed_kv", "mlp")),
-                       name="conv")(x)
+        return QConv(self.channels, (3, 3), padding=1, dtype=self.cfg.dtype,
+                     param_dtype=self.cfg.param_dtype,
+                     quantize=self.cfg.quantize,
+                     kernel_init=_init((None, None, "embed_kv", "mlp")),
+                     name="conv")(x)
 
 
 class UNet2DConditionModel(nn.Module):

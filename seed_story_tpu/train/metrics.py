@@ -26,10 +26,14 @@ log = logging.getLogger("seed_story_tpu")
 
 
 def setup_logging(level=logging.INFO):
+    # force=True: absl (pulled in by orbax) installs a root handler at
+    # import, which would make basicConfig a silent no-op and swallow the
+    # runner's INFO progress lines (step/loss/checkpoint)
     logging.basicConfig(
         level=level,
         format="[%(asctime)s] [%(levelname)s] [%(name)s] %(message)s",
         datefmt="%m/%d/%Y %H:%M:%S",
+        force=True,
     )
     return log
 

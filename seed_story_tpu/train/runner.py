@@ -10,6 +10,7 @@ restore, and the progress line.
 from __future__ import annotations
 
 import dataclasses
+import os
 import time
 from typing import Any, Callable, Dict, Iterator, Optional
 
@@ -82,6 +83,11 @@ def run_training(
                 log.info("restored data order: %s", data_state)
             log.info("resumed from step %d", start_step)
 
+        # per-step rng = fold_in(seed, step): resume-stable — a resumed run
+        # replays EXACTLY the rng stream an uninterrupted run would have
+        # used (a sequential split from a fresh key would restart the
+        # stream at the resume boundary and break loss-trace continuity
+        # for rng-consuming losses like stage 3's noise/timesteps)
         rng = jax.random.PRNGKey(args.seed)
         throughput = Throughput()
         t_start = time.time()
@@ -118,7 +124,15 @@ def run_training(
                 break
             if batch_transform is not None:
                 batch = batch_transform(batch)
-            rng, step_rng = jax.random.split(rng)
+            if os.environ.get("SS_DEBUG_BATCH_HASH"):
+                import hashlib
+
+                ids = np.asarray(batch["input_ids"]) if "input_ids" in batch \
+                    else np.concatenate([np.ravel(np.asarray(v)) for v in
+                                         jax.tree_util.tree_leaves(batch)[:1]])
+                h = hashlib.md5(np.ascontiguousarray(ids)).hexdigest()[:10]
+                log.info("batch hash @ next step %d: %s", step + 1, h)
+            step_rng = jax.random.fold_in(rng, step)
             state, metrics = trainer.step(state, batch, step_rng)
             step += 1
 

@@ -41,6 +41,7 @@ def parse_args(argv=None):
     p.add_argument("--max_steps", type=int, default=10000)
     p.add_argument("--min_lr_ratio", type=float, default=0.05)
     p.add_argument("--save_steps", type=int, default=1000)
+    p.add_argument("--log_steps", type=int, default=10)
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--mesh_data", type=int, default=None)
     p.add_argument("--sharding", default="dp", choices=["dp", "fsdp", "fsdp_tp"])
@@ -103,6 +104,7 @@ def main(argv=None):
     runner_args = RunnerArgs(
         output_dir=args.output_dir, max_steps=args.max_steps,
         save_steps=args.save_steps,
+        log_steps=args.log_steps,
         resume_from_checkpoint=args.resume_from_checkpoint,
         seed=args.seed, mesh_data=args.mesh_data,
     )

@@ -157,6 +157,7 @@ def main(argv=None):
     runner_args = RunnerArgs(
         output_dir=args.output_dir, max_steps=args.max_steps,
         save_steps=args.save_steps,
+        log_steps=args.log_steps,
         resume_from_checkpoint=args.resume_from_checkpoint,
         seed=args.seed, mesh_data=args.mesh_data, mesh_model=args.mesh_model,
     )

@@ -300,3 +300,68 @@ def test_data_order_resume(tmp_path):
 
     # the state is serializable (rides a JSON checkpoint field)
     _json.dumps(states[2])
+
+
+def test_multi_datapipe_order_resume(tmp_path):
+    """build_multi_datapipes' mixer is STATEFUL (round-4 fix: the bare
+    sample_multiplexer generator had no state(), so the runner silently
+    skipped data-order checkpointing for every standard stage-2/3 config —
+    found by the on-chip kill/resume proof). Resume restores the exact
+    mixed-batch sequence: children fast-forward + choice-stream replay."""
+    import json as _json
+
+    from seed_story_tpu.data.builders import MultiStoryDataPipe
+    from seed_story_tpu.data.datapipes import (
+        JsonlStoryDataset,
+        ThreadedLoader,
+        batched,
+    )
+
+    paths = []
+    for tag in ("a", "b"):
+        p = tmp_path / f"{tag}.jsonl"
+        with open(p, "w") as f:
+            for i in range(200):
+                f.write(_json.dumps({"tag": tag, "i": i}) + "\n")
+        paths.append(str(p))
+
+    def decode(rec):
+        return {"i": np.asarray([rec["i"] + (1000 if rec["tag"] == "b" else 0)])}
+
+    class Child:
+        def __init__(self, path, seed):
+            self.ds = JsonlStoryDataset(path, decode, seed=seed,
+                                        host_index=0, host_count=1,
+                                        shuffle_buffer=8, cycle_count=50)
+
+        def __iter__(self):
+            return batched(iter(self.ds), 2)
+
+        def state(self):
+            return self.ds.state()
+
+        def set_state(self, s):
+            self.ds.set_state(s)
+
+    def make():
+        return MultiStoryDataPipe([Child(paths[0], 1), Child(paths[1], 2)],
+                                  [0.7, 0.3], seed=9)
+
+    pipe = make()
+    loader = ThreadedLoader(lambda: iter(pipe), state_fn=pipe.state)
+    it = iter(loader)
+    batches, states = [], []
+    for _ in range(12):
+        batches.append(next(it)["i"].ravel().tolist())
+        states.append(loader.current_state)
+    loader.close()
+
+    # serializable (rides the ocp JsonSave field)
+    rt = _json.loads(_json.dumps(states[7]))
+    pipe2 = make()
+    pipe2.set_state(rt)
+    loader2 = ThreadedLoader(lambda: iter(pipe2), state_fn=pipe2.state)
+    it2 = iter(loader2)
+    resumed = [next(it2)["i"].ravel().tolist() for _ in range(4)]
+    loader2.close()
+    assert resumed == batches[8:12]

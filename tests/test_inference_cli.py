@@ -112,8 +112,10 @@ def _check_story(folder):
 
 
 def test_gen_george_cli_sequential(ws, tmp_path):
+    # --sdxl_int8: the weight-only int8 UNet de-tokenizer through the
+    # product CLI (build_stack quantized-adapter branch)
     out = tmp_path / "out_seq"
-    _run(ws, out, ["--max_stories", "1"])
+    _run(ws, out, ["--max_stories", "1", "--sdxl_int8"])
     _check_story(str(out / "val_0"))
 
 

