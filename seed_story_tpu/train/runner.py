@@ -51,6 +51,7 @@ def run_training(
     host_metrics_fn: Optional[Callable] = None,
     config_record: Optional[Dict] = None,
     data_source=None,
+    loss_consts=None,
 ):
     """``data_source``: optional object with ``state() -> dict`` /
     ``set_state(dict)`` (e.g. JsonlStoryDataset). When given, the pipeline
@@ -64,7 +65,8 @@ def run_training(
     mesh = make_mesh(data=args.mesh_data, model=args.mesh_model)
     log.info("mesh: %s; devices: %d", dict(mesh.shape), len(jax.devices()))
 
-    trainer = Trainer(mesh, abstract_params, loss_fn, train_cfg, trainable_mask)
+    trainer = Trainer(mesh, abstract_params, loss_fn, train_cfg,
+                  trainable_mask, loss_consts=loss_consts)
     writer = MetricsWriter(args.output_dir, use_wandb=args.use_wandb,
                            config=config_record)
     profiler = Profiler(args.output_dir, args.profile_start, args.profile_stop)

@@ -13,17 +13,22 @@ import jax
 import jax.numpy as jnp
 
 
-def make_stage2_loss_fn(agent_model, vit_model=None, vit_params=None):
-    """loss_fn(params, batch, rng) -> (loss, metrics).
+def make_stage2_loss_fn(agent_model, vit_model=None):
+    """loss_fn(params, batch, rng[, consts]) -> (loss, metrics).
 
     If ``vit_model`` is given, batch['images'] (N, 3, H, W) is encoded with
-    stop_gradient (frozen ViT, train_clm_sft.py:213-215,282-287); otherwise
-    batch must carry precomputed 'image_embeds'.
+    stop_gradient (frozen ViT, train_clm_sft.py:213-215,282-287) using
+    ``consts["vit_params"]`` — the frozen weights ride as a Trainer
+    ``loss_consts`` jit ARGUMENT, never a closure constant (closed-over
+    arrays bake into the serialized HLO: hour-long 7B lowering, and the
+    axon remote-compile rejects the upload with HTTP 413). Otherwise batch
+    must carry precomputed 'image_embeds' and the loss takes 3 args.
     """
 
-    def loss_fn(params, batch, rng):
+    def loss_fn(params, batch, rng, consts=None):
         if vit_model is not None:
-            image_embeds = vit_model.apply({"params": vit_params}, batch["images"])
+            image_embeds = vit_model.apply(
+                {"params": consts["vit_params"]}, batch["images"])
             image_embeds = jax.lax.stop_gradient(image_embeds)
         else:
             image_embeds = batch["image_embeds"]

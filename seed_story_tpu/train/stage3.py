@@ -30,26 +30,32 @@ def select_gen_embeds(recon_image_embeds, embeds_gen_mask, batch_size: int):
 def make_stage3_loss_fn(
     adapter_model,
     agent_model,
-    agent_params,
     vae_model,
-    vae_params,
     vit_model=None,
-    vit_params=None,
     scheduler: Optional[DDPMScheduler] = None,
 ) -> Callable:
+    """loss_fn(params, batch, rng, consts) -> (loss, metrics).
+
+    ``consts`` carries the FROZEN stage weights — ``agent_params``,
+    ``vae_params``, and ``vit_params`` when vit_model is given — via the
+    Trainer's ``loss_consts`` jit argument. They must never be closure
+    constants: closed-over arrays bake into the serialized HLO (hour-long
+    lowering at 7B; the axon remote-compile rejects the upload, HTTP 413).
+    """
     sch = scheduler or DDPMScheduler()
 
-    def loss_fn(params, batch, rng):
+    def loss_fn(params, batch, rng, consts):
         rng_noise, rng_t, rng_vae = jax.random.split(rng, 3)
 
         if vit_model is not None:
-            image_embeds = vit_model.apply({"params": vit_params}, batch["images"])
+            image_embeds = vit_model.apply(
+                {"params": consts["vit_params"]}, batch["images"])
         else:
             image_embeds = batch["image_embeds"]
         image_embeds = jax.lax.stop_gradient(image_embeds)
 
         agent_out = agent_model.apply(
-            {"params": agent_params},
+            {"params": consts["agent_params"]},
             input_ids=batch["input_ids"],
             attention_mask=batch["attention_mask"],
             labels=batch["labels"],
@@ -69,7 +75,8 @@ def make_stage3_loss_fn(
         # target latents: (B, 3, H, W) -> NHWC -> VAE encode (sampled)
         sd = jnp.transpose(batch["sd_images"], (0, 2, 3, 1))
         latents = vae_model.apply(
-            {"params": vae_params}, sd, rng=rng_vae, method=vae_model.encode
+            {"params": consts["vae_params"]}, sd, rng=rng_vae,
+            method=vae_model.encode
         )
         latents = jax.lax.stop_gradient(latents)
 

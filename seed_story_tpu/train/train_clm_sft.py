@@ -136,7 +136,7 @@ def main(argv=None):
     if args.pretrained_vit_path:
         vit_params = load_params_partial(args.pretrained_vit_path, vit_params)
 
-    loss_fn = make_stage2_loss_fn(agent, vit_model=vit, vit_params=vit_params)
+    loss_fn = make_stage2_loss_fn(agent, vit_model=vit)
 
     train_cfg = TrainConfig(
         learning_rate=args.learning_rate,
@@ -183,6 +183,7 @@ def main(argv=None):
         runner_args, train_cfg, abstract, init_params, loss_fn, batches(),
         trainable_mask=mask, config_record=vars(args),
         data_source=datapipe if hasattr(datapipe, "state") else None,
+        loss_consts={"vit_params": vit_params},
     )
 
 

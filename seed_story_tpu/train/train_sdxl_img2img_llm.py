@@ -50,6 +50,7 @@ def parse_args(argv=None):
     p.add_argument("--max_steps", type=int, default=1600)
     p.add_argument("--min_lr_ratio", type=float, default=0.05)
     p.add_argument("--save_steps", type=int, default=400)
+    p.add_argument("--log_steps", type=int, default=10)
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--mesh_data", type=int, default=None)
     p.add_argument("--sharding", default="fsdp", choices=["dp", "fsdp", "fsdp_tp"])
@@ -135,9 +136,9 @@ def main(argv=None):
             params = load_params_partial(args.pretrained_adapter_path, params)
         return params
 
-    loss_fn = make_stage3_loss_fn(
-        adapter, agent, agent_params, vae, vae_params, vit, vit_params
-    )
+    loss_fn = make_stage3_loss_fn(adapter, agent, vae, vit)
+    loss_consts = {"agent_params": agent_params, "vae_params": vae_params,
+                   "vit_params": vit_params}
     mask = adapter_trainable_mask(nn.meta.unbox(abstract), adapter_cfg.full_ft)
 
     train_cfg = TrainConfig(
@@ -165,6 +166,7 @@ def main(argv=None):
         runner_args, train_cfg, abstract, init_params, loss_fn, batches(),
         trainable_mask=mask, config_record=vars(args),
         data_source=datapipe if hasattr(datapipe, "state") else None,
+        loss_consts=loss_consts,
     )
 
 

@@ -98,6 +98,7 @@ class Trainer:
         cfg: TrainConfig,
         trainable_mask=None,
         batch_sharding: Optional[Any] = None,
+        loss_consts: Optional[Any] = None,
     ):
         self.mesh = mesh
         self.cfg = cfg
@@ -121,6 +122,24 @@ class Trainer:
             if trainable_mask is not None else None
         )
         self.tx = make_optimizer(cfg, None)
+        # Frozen parameter bundles (stage-2 ViT, stage-3 agent/VAE) ride as
+        # jit ARGUMENTS, never as loss_fn closure constants: closed-over
+        # arrays bake into the traced jaxpr/serialized HLO (hour-long
+        # lowering at 7B; the axon remote-compile service rejects the
+        # upload outright — HTTP 413). With loss_consts set, loss_fn is
+        # called as loss_fn(params, batch, rng, consts).
+        if loss_consts is not None:
+            if jax.process_count() == 1:
+                loss_consts = jax.device_put(
+                    loss_consts, NamedSharding(mesh, P())
+                )
+            else:
+                from jax.experimental import multihost_utils
+
+                loss_consts = multihost_utils.host_local_array_to_global_array(
+                    loss_consts, mesh, P()
+                )
+        self.loss_consts = loss_consts
         self._jitted = None
 
     # -- trainable-subtree partition -----------------------------------
@@ -194,23 +213,25 @@ class Trainer:
 
     # -- step ---------------------------------------------------------
 
-    def _train_step(self, state: TrainState, batch, rng):
+    def _train_step(self, state: TrainState, batch, rng, consts=None):
         cfg = self.cfg
         params = state.params
         masked = self.trainable_mask is not None
+
+        def call_loss(p, micro):
+            if consts is not None:
+                return self.loss_fn(p, micro, rng, consts)
+            return self.loss_fn(p, micro, rng)
 
         if masked:
             # differentiate w.r.t. the trainable leaves only; frozen leaves
             # enter the loss as plain (possibly int8) constants
             def loss_of(t_leaves, micro):
-                return self.loss_fn(
-                    self._with_trainable(params, t_leaves), micro, rng
-                )
+                return call_loss(self._with_trainable(params, t_leaves), micro)
 
             opt_target = self._trainable_leaves(params)
         else:
-            def loss_of(p, micro):
-                return self.loss_fn(p, micro, rng)
+            loss_of = call_loss
 
             opt_target = params
 
@@ -263,9 +284,15 @@ class Trainer:
             jax.tree_util.tree_map(lambda x: x.sharding, state.opt_state),
             self.replicated,
         )
+        in_shardings = [state_shardings, self.batch_sharding, self.replicated]
+        if self.loss_consts is not None:
+            in_shardings.append(
+                jax.tree_util.tree_map(lambda _: self.replicated,
+                                       self.loss_consts)
+            )
         self._jitted = jax.jit(
             self._train_step,
-            in_shardings=(state_shardings, self.batch_sharding, self.replicated),
+            in_shardings=tuple(in_shardings),
             out_shardings=(state_shardings, self.replicated),
             donate_argnums=(0,),
         )
@@ -274,4 +301,6 @@ class Trainer:
     def step(self, state, batch, rng):
         if self._jitted is None:
             self.compile(state)
+        if self.loss_consts is not None:
+            return self._jitted(state, batch, rng, self.loss_consts)
         return self._jitted(state, batch, rng)

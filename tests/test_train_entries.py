@@ -271,12 +271,13 @@ def test_stage3_time_ids_flow_end_to_end(tmp_path):
         jnp.ones((2, 6)), jnp.zeros((2, 8, 8, lat_c)),
     )["params"]
 
-    loss_fn = make_stage3_loss_fn(adapter, agent, agent_params, vae, vae_params)
-    loss, metrics = loss_fn(adapter_params, batch, jax.random.PRNGKey(7))
+    loss_fn = make_stage3_loss_fn(adapter, agent, vae)
+    consts = {"agent_params": agent_params, "vae_params": vae_params}
+    loss, metrics = loss_fn(adapter_params, batch, jax.random.PRNGKey(7), consts)
     assert np.isfinite(float(loss))
 
     # time_ids are consumed: a large perturbation moves the loss
     batch2 = dict(batch)
     batch2["time_ids"] = batch["time_ids"] + 4096
-    loss2, _ = loss_fn(adapter_params, batch2, jax.random.PRNGKey(7))
+    loss2, _ = loss_fn(adapter_params, batch2, jax.random.PRNGKey(7), consts)
     assert abs(float(loss2) - float(loss)) > 1e-6
