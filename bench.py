@@ -266,9 +266,9 @@ def run_mllm_phase(preset, acfg, max_new, n_segments, window, n_stories=1,
     # of the worst case ~3.1GB. Each bucket is its own compile; the
     # warmup pass below covers all of them (persistent cache across runs).
     max_prompt = 80 + window * (max_new + 70)
-    # speculative prompt-lookup decode in the B=1 latency mode: worst case
-    # measured FREE at 7B (verify pass == one decode pass, PERF.md), and
-    # the forced image chains + random-weight repetition loops accept
+    # speculative prompt-lookup decode: worst case measured FREE at 7B
+    # (verify pass == one decode pass, PERF.md), and the forced image
+    # chains + random-weight repetition loops accept at high rate
     spec = int(os.environ.get("SEED_STORY_BENCH_SPEC", "4"))
     gcfg = GenerateConfig(
         max_new_tokens=max_new,
@@ -284,7 +284,9 @@ def run_mllm_phase(preset, acfg, max_new, n_segments, window, n_stories=1,
         force_boi_at=max_new - acfg.num_img_out_tokens - 8,
         max_context_images=window,
         return_cache=False,  # story flow never reads it back; saves a 7B-cache copy
-        speculate_k=spec if n_stories == 1 else 0,
+        # round 4: the spec loop is batch-general (per-row accept counts),
+        # so lockstep multi-story serving compounds batching x speculation
+        speculate_k=spec,
     )
     gen = StoryGenerator(agent, params, gcfg)
 
@@ -570,8 +572,7 @@ def main():
         detok_desc += " int8-UNet"
     if best["interleaved"]:
         detok_desc += " co-resident/interleaved"
-    spec = (int(os.environ.get("SEED_STORY_BENCH_SPEC", "4"))
-            if best["stories"] == 1 else 0)  # speculative decode is B=1-only
+    spec = int(os.environ.get("SEED_STORY_BENCH_SPEC", "4"))
     q = ("int8-weight" + ("+kv" if kv_int8 else "")
          + (f"+speculative(k={spec})" if spec else "") + " decode")
     scale = (f"7B {q}" if int8 else "7B") if preset == "full" else preset

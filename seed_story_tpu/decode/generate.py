@@ -60,8 +60,9 @@ class GenerateConfig:
     # padded to this so a growing story shares ONE compiled program
     # (window_size in the pipelines; 8 in the reference).
     max_context_images: int = 8
-    # >0 enables speculative decoding via prompt-lookup drafting (B=1,
-    # greedy only): each step verifies K drafted tokens plus the committed
+    # >0 enables speculative decoding via prompt-lookup drafting (greedy
+    # only; works at any batch — B>1 rows run lockstep with per-row accept
+    # counts): each step verifies K drafted tokens plus the committed
     # token in ONE K+1-query pass — decode is latency-bound per dependent
     # pass (PERF.md), so a pass costs about one token but can commit up to
     # K+1. Drafts come from the last occurrence of the trailing bigram in
@@ -209,7 +210,6 @@ class StoryGenerator:
         tokens_buf = tokens_buf.at[:, 0].set(first_token)
 
         if cfg.speculate_k > 0:
-            assert b == 1, "speculative decoding is the B=1 latency path"
             assert cfg.temperature == 0.0, "speculative decoding is greedy-only"
             assert not cfg.return_cache, (
                 "speculative mode does not preserve the plain loop's final "
@@ -287,22 +287,34 @@ class StoryGenerator:
 
     def _spec_loop(self, apply, agent, cache, tokens_buf, hidden_buf,
                    input_ids, prompt_len):
-        """Speculative greedy decode via prompt-lookup drafting (B=1).
+        """Speculative greedy decode via prompt-lookup drafting (any B).
 
-        Each pass feeds ``[t_prev, d_0..d_{K-1}]`` (K+1 tokens) through the
-        small-q cache path and commits the longest verified prefix plus one
-        bonus token — byte-identical output to the plain loop, pinned by
-        ``test_speculative_decode_matches_greedy``. (Byte-identity holds at
-        matched arithmetic; on TPU bf16 the K+1-query pass may round logits
-        differently than the 1-query pass, so near-TIED logits — common
-        with random weights, rare with trained ones — can resolve to a
-        different equally-ranked token. Verified on-chip: at a divergence
-        the f32 replay showed a top-2 gap below one bf16 quantum.) The per-row KV-cache
-        ``length`` makes draft rollback free: rejected entries sit beyond
-        ``length`` (masked) and the next pass's insert overwrites them.
-        Worst case (no accepts) each pass still commits one token for about
-        one token's cost — decode is latency-bound per dependent pass, not
-        byte-bound (PERF.md "Decode roofline anatomy")."""
+        Each pass feeds ``[t_prev, d_0..d_{K-1}]`` (K+1 tokens per row)
+        through the small-q cache path and commits the longest verified
+        prefix plus one bonus token — byte-identical output to the plain
+        loop, pinned by ``test_speculative_decode_matches_greedy`` /
+        ``test_speculative_batch_matches_sequential``. (Byte-identity holds
+        at matched arithmetic; on TPU bf16 the K+1-query pass may round
+        logits differently than the 1-query pass, so near-TIED logits —
+        common with random weights, rare with trained ones — can resolve to
+        a different equally-ranked token. Verified on-chip: at a divergence
+        the f32 replay showed a top-2 gap below one bf16 quantum.) The
+        per-row KV-cache ``length`` makes draft rollback free: rejected
+        entries sit beyond ``length`` (masked) and the next pass's insert
+        overwrites them. Worst case (no accepts) each pass still commits
+        one token for about one token's cost — decode is latency-bound per
+        dependent pass, not byte-bound (PERF.md "Decode roofline anatomy").
+
+        B>1 runs the rows in LOCKSTEP with per-row progress: each row has
+        its own ``idx``/``done``/cache ``length`` and commits its own
+        accept count per pass; a finished row keeps riding the pass (its
+        ncommit is forced to 0, so its state is frozen and every write it
+        makes is either idempotent — t_prev re-fed at the same frozen cache
+        position recomputes the identical hidden/KV — or lands beyond its
+        committed count). The loop exits when every row is done, so batched
+        speculation compounds the two measured levers: B stories share one
+        parameter stream per pass AND each pass commits up to K+1 tokens
+        per row (the forced 66-token image chains accept near 100%)."""
         import dataclasses as _dc
 
         cfg = self.cfg
@@ -314,16 +326,17 @@ class StoryGenerator:
         hidden_buf = jnp.pad(hidden_buf, ((0, 0), (0, K + 1), (0, 0)))
 
         P = input_ids.shape[1]
-        hist0 = jnp.zeros((P + max_new + K + 1,), jnp.int32)
-        hist0 = jax.lax.dynamic_update_slice(hist0, input_ids[0], (0,))
-        p0 = prompt_len[0]
+        hist0 = jnp.zeros((b, P + max_new + K + 1), jnp.int32)
+        hist0 = jax.lax.dynamic_update_slice(hist0, input_ids, (0, 0))
+        p0 = prompt_len  # (B,)
 
-        def draft_for(tokens_row, idx):
+        def draft_for(hist0_row, p0_row, tokens_row, idx):
             # most recent earlier occurrence of the trailing bigram; the K
             # tokens that followed it become the draft (garbage drafts are
             # safe — verification rejects them)
-            hist = jax.lax.dynamic_update_slice(hist0, tokens_row, (p0,))
-            hlen = p0 + idx
+            hist = jax.lax.dynamic_update_slice(hist0_row, tokens_row,
+                                                (p0_row,))
+            hlen = p0_row + idx
             last2 = jax.lax.dynamic_slice(hist, (hlen - 2,), (2,))
             jpos = jnp.arange(hist.shape[0] - 1)
             match = (hist[:-1] == last2[0]) & (hist[1:] == last2[1]) & (
@@ -335,9 +348,13 @@ class StoryGenerator:
 
         from ..data.tokenizer import BOI_TOKEN_ID
 
-        def pick(prev, logits, steps):  # (S,), (S, V), (S,) -> (S,)
-            logits = self.automaton(prev, logits.astype(jnp.float32))
-            tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        def pick(prev, logits, steps):  # (B,K+1), (B,K+1,V), (B,K+1)
+            flat = self.automaton(
+                prev.reshape(-1),
+                logits.reshape(-1, logits.shape[-1]).astype(jnp.float32),
+            )
+            tok = jnp.argmax(flat, axis=-1).astype(jnp.int32).reshape(
+                prev.shape)
             if cfg.force_boi_at is not None:
                 # same per-position semantics as the plain loop: the token
                 # destined for buf position p is forced when p ==
@@ -350,50 +367,58 @@ class StoryGenerator:
 
         def cond(state):
             idx, done, *_ = state
-            return jnp.logical_and(idx < max_new, jnp.logical_not(done))
+            return jnp.any(jnp.logical_and(idx < max_new,
+                                           jnp.logical_not(done)))
 
         def body(state):
             idx, done, cache, tokens_buf, hidden_buf = state
-            t_prev = jax.lax.dynamic_slice(tokens_buf[0], (idx - 1,), (1,))
-            drafts = draft_for(tokens_buf[0], idx)
-            block = jnp.concatenate([t_prev, drafts])  # (K+1,)
+            t_prev = jax.vmap(
+                lambda row, i: jax.lax.dynamic_slice(row, (i - 1,), (1,))
+            )(tokens_buf, idx)  # (B, 1)
+            drafts = jax.vmap(draft_for)(hist0, p0, tokens_buf, idx)  # (B,K)
+            block = jnp.concatenate([t_prev, drafts], axis=1)  # (B, K+1)
             L = cache.length
             out = apply(agent.llm_step,
-                        apply(agent.embed_tokens, block[None, :]), cache)
+                        apply(agent.embed_tokens, block), cache)
             cache = out["cache"]
-            nxt = pick(block, out["logits"][0],
-                       idx + jnp.arange(K + 1))  # (K+1,) verified successors
+            nxt = pick(block, out["logits"],
+                       idx[:, None] + jnp.arange(K + 1)[None, :])  # (B,K+1)
             accept = jnp.sum(jnp.cumprod(
-                (nxt[:K] == drafts).astype(jnp.int32)))
+                (nxt[:, :K] == drafts).astype(jnp.int32), axis=1), axis=1)
             is_eos = nxt == cfg.eos_token_id
             first_eos = jnp.min(
-                jnp.where(is_eos, jnp.arange(K + 1), K + 1))
+                jnp.where(is_eos, jnp.arange(K + 1)[None, :], K + 1), axis=1)
             ncommit = jnp.minimum(
                 jnp.minimum(accept + 1, first_eos + 1), max_new - idx)
             # the plain loop detects eos when CONSUMED: a pass whose t_prev
-            # is already eos commits nothing and stops (num freezes at idx)
-            prev_is_eos = t_prev[0] == cfg.eos_token_id
-            ncommit = jnp.where(prev_is_eos, 0, ncommit)
-            done = jnp.logical_or(
+            # is already eos commits nothing and stops (num freezes at idx);
+            # an already-done row is frozen the same way
+            prev_is_eos = t_prev[:, 0] == cfg.eos_token_id
+            ncommit = jnp.where(jnp.logical_or(prev_is_eos, done), 0, ncommit)
+            done = jnp.logical_or(done, jnp.logical_or(
                 prev_is_eos,
                 jnp.logical_or(first_eos + 1 <= ncommit,
                                idx + ncommit >= max_new),
-            )
-            tokens_buf = jax.lax.dynamic_update_slice(
-                tokens_buf, nxt[None, :], (0, idx))
-            hidden_buf = jax.lax.dynamic_update_slice(
-                hidden_buf, out["hidden_states"][:1], (0, idx - 1, 0))
+            ))
+            tokens_buf = jax.vmap(
+                lambda row, new, i: jax.lax.dynamic_update_slice(
+                    row, new, (i,))
+            )(tokens_buf, nxt, idx)
+            hidden_buf = jax.vmap(
+                lambda row, new, i: jax.lax.dynamic_update_slice(
+                    row, new, (i - 1, 0))
+            )(hidden_buf, out["hidden_states"], idx)
             # valid cache entries: t_prev + the accepted drafts that were
             # consumed (= ncommit-1); the bonus token is fed next pass
             cache = _dc.replace(cache, length=L + ncommit)
             return idx + ncommit, done, cache, tokens_buf, hidden_buf
 
-        state0 = (jnp.int32(1), jnp.bool_(False), cache, tokens_buf, hidden_buf)
+        state0 = (jnp.ones((b,), jnp.int32), jnp.zeros((b,), bool),
+                  cache, tokens_buf, hidden_buf)
         idx, done, cache, tokens_buf, hidden_buf = jax.lax.while_loop(
             cond, body, state0
         )
-        num_generated = jnp.full((b,), idx, jnp.int32)
-        return (num_generated, cache,
+        return (idx, cache,
                 tokens_buf[:, :max_new], hidden_buf[:, :max_new])
 
     # -- host API ------------------------------------------------------

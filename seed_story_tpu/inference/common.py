@@ -102,6 +102,7 @@ def build_stack(
     pipelined_detok: bool = False,
     decode_tp: int = 0,
     sdxl_int8: bool = False,
+    speculate_k: int = 0,
 ) -> InferenceStack:
     import jax
     import jax.numpy as jnp
@@ -161,8 +162,11 @@ def build_stack(
         force_boi_at=force_boi_at,
         # batched serving (lockstep stories) re-prefills every segment and
         # never threads a cache back; see StoryGenerator.generate_batch.
-        # Pipelined serving drives run_batch even for one story.
-        return_cache=batch_stories <= 1 and not pipelined_detok,
+        # Pipelined serving drives run_batch even for one story, and the
+        # speculative loop never preserves the plain loop's cache length.
+        return_cache=(batch_stories <= 1 and not pipelined_detok
+                      and speculate_k == 0),
+        speculate_k=speculate_k,
     )
     mesh = None
     if decode_tp > 1:

@@ -51,6 +51,11 @@ def parse_args(argv=None):
                         "on-device program (lockstep batched decode; ~3.3x "
                         "story throughput at N=4 on 7B — PERF.md). 1 = the "
                         "reference's sequential behavior.")
+    p.add_argument("--speculate_k", type=int, default=0,
+                   help="prompt-lookup speculative decode: verify K drafted "
+                        "tokens + the committed token per pass (greedy "
+                        "only, byte-identical output; works with "
+                        "--batch_stories > 1 — per-row accept counts)")
     p.add_argument("--sdxl_int8", action="store_true",
                    help="weight-only int8 UNet projections/convs (per-"
                         "output-channel scales, quantize_unet_params): "
@@ -90,6 +95,7 @@ def main(argv=None):
         pipelined_detok=args.detok_devices > 0,
         decode_tp=args.decode_tp,
         sdxl_int8=args.sdxl_int8,
+        speculate_k=args.speculate_k,
     )
 
     serving = args.detok_devices > 0 and stack.detok_factory is not None

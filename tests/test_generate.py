@@ -221,3 +221,49 @@ def test_generate_batch_matches_individual():
                 np.asarray(ref["img_gen_feat"], np.float32),
                 rtol=2e-2, atol=2e-2,
             )
+
+
+def test_speculative_batch_matches_sequential():
+    """Batched speculative decode (VERDICT r3 #9): B stories in lockstep
+    with per-row accept counts must be byte-identical to each story's
+    individual SPECULATIVE output — which is itself pinned byte-identical
+    to plain greedy above. Rows finish at different steps (different
+    prompt lengths + different eos timing), exercising the frozen-row
+    ncommit=0 path."""
+    gen, prompt, ids_cmp, image_embeds, embeds_cmp = _mk_generator()
+    gen.cfg.return_cache = False
+
+    prompt2 = prompt[:4] + prompt[4 : 4 + 4] + [EOI_TOKEN_ID, 700, 701]
+    ids_cmp2 = np.zeros(len(prompt2), bool)
+    ids_cmp2[4:8] = True
+    image_embeds2 = jax.random.normal(
+        jax.random.PRNGKey(7), image_embeds.shape
+    )
+    stories = [
+        dict(input_ids=np.array(prompt), image_embeds=image_embeds,
+             embeds_cmp_mask=embeds_cmp, ids_cmp_mask=ids_cmp),
+        dict(input_ids=np.array(prompt2), image_embeds=image_embeds2,
+             embeds_cmp_mask=embeds_cmp, ids_cmp_mask=ids_cmp2),
+    ]
+
+    for k in (3, 4):
+        gen.cfg.speculate_k = k
+        gen._compiled.clear()
+        refs = [
+            gen.generate(s["input_ids"], s["image_embeds"],
+                         s["embeds_cmp_mask"], s["ids_cmp_mask"])
+            for s in stories
+        ]
+        outs = gen.generate_batch(stories)
+        for ref, got in zip(refs, outs):
+            assert got["num_generated"] == ref["num_generated"], k
+            np.testing.assert_array_equal(
+                got["generate_ids"], ref["generate_ids"])
+            assert got["has_img_output"] == ref["has_img_output"]
+            if ref["has_img_output"]:
+                np.testing.assert_allclose(
+                    np.asarray(got["img_gen_feat"], np.float32),
+                    np.asarray(ref["img_gen_feat"], np.float32),
+                    rtol=2e-2, atol=2e-2,
+                )
+    gen.cfg.speculate_k = 0
