@@ -318,20 +318,27 @@ def run_mllm_phase(preset, acfg, max_new, n_segments, window, n_stories=1,
             "george the monkey went to the park",
         ))
 
-    # warmup: a FULL story pass compiles every prompt bucket the timed
-    # pass will hit (compiles must not land inside the timed region). The
+    # warmup: a story pass compiles every prompt bucket the timed pass
+    # will hit (compiles must not land inside the timed region). The
     # de-tokenizer hook is DISABLED here — its programs don't depend on
     # the story state, so one warmup image (done by the caller at build
     # time) covers it and the warmup story doesn't pay n_segments x 7 s
-    # of redundant image sampling (round-4 setup_s cut).
-    run_story(n_segments, None)
+    # of redundant image sampling (round-4 setup_s cut). The bucket set
+    # SATURATES once the window fills (steady-state prompt lengths
+    # oscillate over a fixed set of 512-token buckets as evictions keep
+    # pace with growth), so the warmup story stops at window+3 segments —
+    # a 25-segment flagship run warms in 11 segments, not 25; any
+    # residual long-tail bucket still lands in the persistent cache.
+    t0 = time.perf_counter()
+    run_story(min(n_segments, window + 3), None)
+    warmup_s = time.perf_counter() - t0
 
     t0 = time.perf_counter()
     segs = run_story(n_segments, detokenize)
     dt = time.perf_counter() - t0
     feats = [np.asarray(s.image_features, np.float32)
              for s in segs if s.image_features is not None]
-    return dt, feats
+    return dt, feats, warmup_s
 
 
 def _randomize_int8(params):
@@ -442,14 +449,25 @@ def main():
     # executables are machine-pinned and can mis-execute on another host)
     from seed_story_tpu.utils.cache import enable_compile_cache
 
-    enable_compile_cache()
+    cache_dir = enable_compile_cache()
+    breakdown = {"import_s": round(time.time() - t_setup, 1)}
 
+    def _cache_entries():
+        try:
+            return len(os.listdir(cache_dir)) if cache_dir else 0
+        except OSError:
+            return 0
+
+    cache_before = _cache_entries()
+
+    t0 = time.time()
     kernel_gate()  # compiled-Pallas parity on the actual chip, pre-timing
 
     # chip-health gate: never time in a degraded tunnel window (round-3
     # lesson: BENCH_r03 was taxed ~2.5% by one; a 10x window would have
     # produced a 0.5 seg/min artifact with nothing flagging it)
     health_pre, healthy = health_gate()
+    breakdown["gates_s"] = round(time.time() - t0, 1)
 
     int8 = (
         os.environ.get("SEED_STORY_BENCH_INT8", "1") == "1" and preset == "full"
@@ -502,11 +520,13 @@ def main():
     pipe = neg = None
     detok_time = [0.0]
     if interleaved_allowed and any(n <= max_coresident for n in mode_list):
+        t0 = time.time()
         pipe, neg = build_sdxl_pipe(acfg, sdxl_steps, sdxl_int8)
         # one warmup image compiles the sampling program (detok programs
         # don't depend on story state — the warmup story skips them)
         warm_feat = np.zeros((1, acfg.num_vit_tokens, acfg.vit_dim), np.float32)
         assert pipe.generate(warm_feat, neg)[0] is not None
+        breakdown["sdxl_build_s"] = round(time.time() - t0, 1)
 
         def detok(f):
             t0 = time.perf_counter()
@@ -522,10 +542,11 @@ def main():
         interleaved = (interleaved_allowed and pipe is not None
                        and n_stories <= max_coresident)
         detok_time[0] = 0.0
-        mllm_s, feats = run_mllm_phase(
+        mllm_s, feats, warmup_s = run_mllm_phase(
             preset, acfg, max_new, n_segments, window, n_stories,
             detokenize=detok if interleaved else None,
         )
+        breakdown[f"warmup_b{n_stories}_s"] = round(warmup_s, 1)
         if setup_s is None:
             # everything up to the first timed story: gates, inits, warmup
             setup_s = (time.time() - t_setup) - mllm_s
@@ -606,6 +627,11 @@ def main():
         json.dumps({"debug": {
             "modes": modes,
             "setup_s": round(setup_s, 1) if setup_s is not None else None,
+            # warm vs cold: new persistent-cache entries written this run
+            # (0 => every program came from the warm cache; setup_s is then
+            # init + warmup decode, not remote compiles)
+            "setup_breakdown": breakdown,
+            "compile_cache_new_entries": _cache_entries() - cache_before,
             # detok_s inside each mode is the in-loop SDXL time during the
             # timed story (interleaved) or the phase-B wall time (two-
             # phase); 0.0 never means "images skipped" anymore

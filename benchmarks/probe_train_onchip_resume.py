@@ -126,6 +126,17 @@ def build_workspace():
 
 
 STEP_RE = re.compile(r"step (\d+)/\d+\s+loss ([0-9.]+)")
+RESUME_RE = re.compile(r"resumed from step (\d+)")
+
+
+def _finalized(out_dir, step):
+    """Orbax async saves write <step>.orbax-checkpoint-tmp first and rename
+    on finalization — only the plain <step> directory is kill-durable.
+    (Round-4 lesson: the 'checkpoint @ step N' log line means QUEUED; at
+    1.38B the background write takes minutes on this 1-core host, and a
+    SIGKILL before the rename leaves only the tmp dir => resume restarts
+    from scratch.)"""
+    return os.path.isdir(os.path.join(out_dir, str(step)))
 
 
 def run_train(out_dir, max_steps, resume=None, kill_after=None, tag=""):
@@ -155,6 +166,7 @@ def run_train(out_dir, max_steps, resume=None, kill_after=None, tag=""):
     losses = {}
     saved_steps = []
     killed = False
+    resume_start = None
     t0 = time.time()
     for line in proc.stdout:
         sys.stdout.write(f"[{tag}] {line}")
@@ -162,20 +174,29 @@ def run_train(out_dir, max_steps, resume=None, kill_after=None, tag=""):
         m = STEP_RE.search(line)
         if m:
             losses[int(m.group(1))] = float(m.group(2))
-        ms = re.search(r"saved checkpoint @ step (\d+)", line)
+        ms = re.search(r"checkpoint @ step (\d+)", line)
         if ms:
             saved_steps.append(int(ms.group(1)))
+        mr = RESUME_RE.search(line)
+        if mr:
+            resume_start = int(mr.group(1))
+        # kill ONLY once a checkpoint is FINALIZED on disk (async Orbax:
+        # the log line means queued; killing mid-write leaves a tmp dir
+        # and resume would silently restart from step 0 — which matches
+        # the control trace and would fake a pass)
+        durable = [s for s in saved_steps if _finalized(out_dir, s)]
         if (kill_after is not None and not killed and m
-                and int(m.group(1)) >= kill_after and saved_steps):
+                and int(m.group(1)) >= kill_after and durable):
             print(f"[{tag}] SIGKILL at step {m.group(1)} "
-                  f"(checkpoint {saved_steps[-1]} on disk)", flush=True)
+                  f"(finalized checkpoint {durable[-1]} on disk)", flush=True)
             proc.send_signal(signal.SIGKILL)
             killed = True
     proc.wait()
     dt = time.time() - t0
     if not killed and proc.returncode != 0:
         raise SystemExit(f"[{tag}] train process failed rc={proc.returncode}")
-    return losses, saved_steps, killed, dt
+    saved_steps = [s for s in saved_steps if _finalized(out_dir, s)]
+    return losses, saved_steps, killed, dt, resume_start
 
 
 def main():
@@ -184,20 +205,27 @@ def main():
           f"H={args.h} L={args.l} inter={inter} B={args.batch})", flush=True)
 
     ctrl_dir = f"{WS}/out_control"
-    ctrl_losses, _, _, ctrl_dt = run_train(ctrl_dir, args.steps, tag="control")
+    ctrl_losses, _, _, ctrl_dt, _ = run_train(ctrl_dir, args.steps, tag="control")
     n = len(ctrl_losses)
     print(f"control: {n} steps logged in {ctrl_dt:.0f}s", flush=True)
 
     int_dir = f"{WS}/out_interrupted"
-    int_losses, saved, killed, _ = run_train(
+    int_losses, saved, killed, _, _ = run_train(
         int_dir, args.steps, kill_after=args.kill_after, tag="interrupted")
     assert killed, "interrupted run was not killed (finished too fast?)"
     ck = saved[-1]
     print(f"interrupted: killed after step >= {args.kill_after}; "
-          f"checkpoint @ {ck}", flush=True)
+          f"finalized checkpoint @ {ck}", flush=True)
 
-    res_losses, _, _, res_dt = run_train(
+    res_losses, _, _, res_dt, resume_start = run_train(
         int_dir, args.steps, resume=int_dir, tag="resume")
+    # the resume must actually restore (a lost checkpoint would restart at
+    # 0 and REPLAY the control trace — indistinguishable by losses alone)
+    assert resume_start == ck, (
+        f"resume started at {resume_start}, expected checkpoint step {ck}")
+    assert res_losses and min(res_losses) > ck, (
+        f"resume re-logged steps <= {ck}: it did not continue from the "
+        f"checkpoint (first logged step {min(res_losses) if res_losses else None})")
 
     # pre-kill steps must match control (same data, same rng)
     import numpy as np

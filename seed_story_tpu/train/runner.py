@@ -153,7 +153,11 @@ def run_training(
                 )
             if step % args.save_steps == 0:
                 ckpt.save(step, state, data_state=loader.current_state)
-                log.info("saved checkpoint @ step %d", step)
+                # async Orbax: the save is QUEUED here and finalized by a
+                # background thread (the <step>.orbax-checkpoint-tmp dir
+                # renames to <step> when durable — minutes at GB scale on a
+                # slow host). Only the renamed dir survives a kill.
+                log.info("queued checkpoint @ step %d (async)", step)
 
         loader.close()
         ckpt.save(step, state, data_state=loader.current_state)
