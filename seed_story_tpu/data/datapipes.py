@@ -143,6 +143,19 @@ class JsonlStoryDataset:
         self.host_index = host_index
         self.host_count = host_count
         self.shuffle_buffer = shuffle_buffer
+        # decode draws (e.g. decode_long_story_sample's num_image_given)
+        # must be a pure function of (seed, record position) too — the
+        # global-random fallback made two identical runs train on DIFFERENT
+        # batches and broke batch-exact resume (caught by the on-chip
+        # kill/resume probe, round 4: pre-kill traces already diverged).
+        try:
+            import inspect
+
+            self._decode_takes_rng = (
+                "rng" in inspect.signature(decode_fn).parameters
+            )
+        except (TypeError, ValueError):
+            self._decode_takes_rng = False
         # data-order resume: records handed to decode since construction.
         # The stream is a pure function of (seed, records_consumed), so
         # restoring is replaying the seeded shuffles and skipping decode for
@@ -165,6 +178,13 @@ class JsonlStoryDataset:
         if self._skip > 0:
             self._skip -= 1
             return None
+        if self._decode_takes_rng:
+            return self.decode_fn(
+                record,
+                rng=random.Random(
+                    f"{self.seed}:decode:{self._records_consumed - 1}"
+                ),
+            )
         return self.decode_fn(record)
 
     def _file_stream(self, epoch: int) -> List[str]:
