@@ -542,10 +542,21 @@ def main():
         interleaved = (interleaved_allowed and pipe is not None
                        and n_stories <= max_coresident)
         detok_time[0] = 0.0
-        mllm_s, feats, warmup_s = run_mllm_phase(
-            preset, acfg, max_new, n_segments, window, n_stories,
-            detokenize=detok if interleaved else None,
-        )
+        try:
+            mllm_s, feats, warmup_s = run_mllm_phase(
+                preset, acfg, max_new, n_segments, window, n_stories,
+                detokenize=detok if interleaved else None,
+            )
+        except Exception as e:  # noqa: BLE001 — a marginal mode must not
+            # kill the whole bench: the tunnel worker can briefly hold a
+            # just-exited process's HBM (CLAUDE.md gotcha) and the highest
+            # co-residency mode is memory-tight by design. Record and move
+            # on; the re-raise below fires only if EVERY mode failed.
+            print(f"bench: mode stories={n_stories} failed: "
+                  f"{type(e).__name__}: {e}", file=sys.stderr, flush=True)
+            modes.append({"stories": n_stories, "error": f"{type(e).__name__}"})
+            gc.collect()
+            continue
         breakdown[f"warmup_b{n_stories}_s"] = round(warmup_s, 1)
         if setup_s is None:
             # everything up to the first timed story: gates, inits, warmup
@@ -583,8 +594,11 @@ def main():
 
     health_post = measure_health()
 
-    best = max(modes, key=lambda m: m["segments_per_min"])
-    b1 = next((m for m in modes if m["stories"] == 1), None)
+    ok_modes = [m for m in modes if "error" not in m]
+    if not ok_modes:
+        raise SystemExit(f"bench: every mode failed: {modes}")
+    best = max(ok_modes, key=lambda m: m["segments_per_min"])
+    b1 = next((m for m in ok_modes if m["stories"] == 1), None)
     segments_per_min = best["segments_per_min"]
 
     detok_desc = (f"SDXL-base 1024px {sdxl_steps}-step CFG" if use_sdxl
