@@ -460,7 +460,12 @@ def main():
 
     cache_before = _cache_entries()
 
+    def phase(msg):
+        print(f"bench: [{time.time() - t_setup:7.1f}s] {msg}",
+              file=sys.stderr, flush=True)
+
     t0 = time.time()
+    phase("kernel gate (compiled-Pallas parity on this chip)")
     kernel_gate()  # compiled-Pallas parity on the actual chip, pre-timing
 
     # chip-health gate: never time in a degraded tunnel window (round-3
@@ -521,6 +526,7 @@ def main():
     detok_time = [0.0]
     if interleaved_allowed and any(n <= max_coresident for n in mode_list):
         t0 = time.time()
+        phase("building SDXL pipe + warmup image")
         pipe, neg = build_sdxl_pipe(acfg, sdxl_steps, sdxl_int8)
         # one warmup image compiles the sampling program (detok programs
         # don't depend on story state — the warmup story skips them)
@@ -542,6 +548,8 @@ def main():
         interleaved = (interleaved_allowed and pipe is not None
                        and n_stories <= max_coresident)
         detok_time[0] = 0.0
+        phase(f"mode stories={n_stories}: init + warmup story + timed story "
+              f"({n_segments} segments, interleaved={interleaved})")
         try:
             mllm_s, feats, warmup_s = run_mllm_phase(
                 preset, acfg, max_new, n_segments, window, n_stories,

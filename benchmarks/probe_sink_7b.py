@@ -28,6 +28,11 @@ SEGMENTS = int(os.environ.get("SINK_SEGMENTS", "12"))
 WINDOW = int(os.environ.get("SINK_WINDOW", "4"))
 MAX_NEW = int(os.environ.get("SINK_MAX_NEW", "200"))
 WITH_SDXL = os.environ.get("SINK_SDXL", "0") == "1"  # in-loop int8 detok
+# cache capacity: the threaded cache holds sink tokens (4 + 24 per evicted
+# image, growing with the story) + the live window (~(text+66+MAX_NEW) per
+# segment) — size to the story unless pinned via env
+_need = 128 + 24 * max(0, SEGMENTS - WINDOW) + WINDOW * (96 + MAX_NEW)
+CAPACITY = int(os.environ.get("SINK_CAPACITY", str((_need + 255) // 256 * 256)))
 
 acfg = AgentConfig(llm=LlamaConfig(
     dtype=jnp.bfloat16, param_dtype=jnp.bfloat16, lora_rank=16,
@@ -55,7 +60,7 @@ print("7B init:", round(time.time() - t0, 1), "s", flush=True)
 tok = TinyTokenizer()
 gcfg = GenerateConfig(
     max_new_tokens=MAX_NEW, num_img_gen_tokens=acfg.num_img_out_tokens,
-    cache_capacity=2048, prompt_bucket=128,
+    cache_capacity=CAPACITY, prompt_bucket=128,
     force_boi_at=MAX_NEW - acfg.num_img_out_tokens - 8,
     max_context_images=WINDOW, return_cache=True,
 )
