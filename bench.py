@@ -528,10 +528,13 @@ def main():
         t0 = time.time()
         phase("building SDXL pipe + warmup image")
         pipe, neg = build_sdxl_pipe(acfg, sdxl_steps, sdxl_int8)
+        breakdown["sdxl_init_s"] = round(time.time() - t0, 1)
         # one warmup image compiles the sampling program (detok programs
         # don't depend on story state — the warmup story skips them)
+        t1 = time.time()
         warm_feat = np.zeros((1, acfg.num_vit_tokens, acfg.vit_dim), np.float32)
         assert pipe.generate(warm_feat, neg)[0] is not None
+        breakdown["sdxl_warm_image_s"] = round(time.time() - t1, 1)
         breakdown["sdxl_build_s"] = round(time.time() - t0, 1)
 
         def detok(f):

@@ -20,6 +20,7 @@ import jax.numpy as jnp
 
 from ..data.tokenizer import BOI_TOKEN, EOI_TOKEN, image_comprehension_string
 from ..decode.generate import StoryGenerator
+from ..decode.sink_cache import SinkKVCacheManager
 
 TAG_RE = re.compile(r"\s*<[^>]*>\s*")
 
@@ -130,6 +131,109 @@ class StoryGenerationPipeline:
             # (gen_george.py:264-268), so the text that ends the story is
             # part of the output (mirrors run_batch's final_text handling)
             yield StorySegment(text_id, text, None, None, len(ids))
+
+    # -- sink-threaded generation (beyond the reference) ----------------
+
+    def run_sink(
+        self, image_pixels: np.ndarray, caption: str
+    ) -> Iterator[StorySegment]:
+        """Long-story generation with the multimodal attention-sink KV
+        cache threaded ACROSS segments.
+
+        The reference has two flows: gen_george.py re-encodes the whole
+        window-8 prompt every segment (:209-239), and vis_george_sink.py
+        threads the cache across turns but only for ground-truth texts
+        (:243-295). This mode composes them: generation itself rides the
+        sink cache — per segment only the just-generated image's 66-token
+        comprehension block is prefilled, the generated text tokens' KV is
+        reused verbatim from decode time, and old segments leave context
+        via the sink eviction policy (decode/sink_cache.py) instead of
+        prompt re-construction. Story length is unbounded by prompt
+        growth; the per-segment prefill is O(66) instead of O(window).
+
+        Context semantics differ from run() in two documented ways:
+        (a) carried context follows the sink retention policy, not the
+        verbatim window prompt; (b) generated text stays in context as the
+        raw decoded tokens (run() detags + re-tokenizes the cleaned text).
+        Requires the generator built with return_cache=True.
+        """
+        cfg = self.cfg
+        gen = self.generator
+        assert gen.cfg.return_cache, (
+            "run_sink threads the KV cache across segments; build the "
+            "StoryGenerator with return_cache=True"
+        )
+        image_tokens = image_comprehension_string(cfg.num_img_in_tokens)
+        suffix_ids = np.asarray(
+            self.tokenizer.encode(image_tokens, add_special_tokens=False),
+            np.int32,
+        )
+        suffix_cmp = np.zeros(len(suffix_ids), bool)
+        sb = int(np.where(suffix_ids == self._boi_id)[0][0])
+        se = int(np.where(suffix_ids == self._eoi_id)[0][0])
+        suffix_cmp[sb + 1 : se] = True
+
+        prompt = cfg.instruction_prompt.format_map(
+            {"instruction": caption + image_tokens}
+        )
+        live_ids, ids_cmp = self._ids_and_masks(prompt, 1)
+        sink = SinkKVCacheManager(capacity=gen.cfg.cache_capacity)
+        out = gen.generate(
+            live_ids, jnp.asarray(self.visual_encode(image_pixels)),
+            np.ones((1,), bool), ids_cmp,
+        )
+        n_images = 1
+        text_id = 1
+        while True:
+            gen_ids = np.asarray(out["generate_ids"], np.int32)
+            text = self._clean(gen_ids)
+            if not out["has_img_output"]:
+                # closing text-only segment (mirrors run())
+                yield StorySegment(
+                    text_id - 1 if text_id > 1 else 0, text, None, None,
+                    sink.sink_len + len(live_ids),
+                )
+                return
+            feats = out["img_gen_feat"]
+            image = (self.detokenize(feats)
+                     if self.detokenize is not None else None)
+            yield StorySegment(
+                text_id, text, image, np.asarray(feats),
+                sink.sink_len + len(live_ids) + len(gen_ids),
+            )
+            if text_id >= cfg.story_len - 1:
+                return
+            text_id += 1
+
+            # keep the generated TEXT tokens' KV (they ARE the story
+            # context); drop the generated image block's KV — those slots
+            # were written with decode-time gen-query embeddings, and the
+            # reference feeds the image back through the COMPREHENSION
+            # projection of the regressed features (gen_george.py:209-224),
+            # which the 66-token suffix prefill below reproduces.
+            boi_pos = np.where(gen_ids == self._boi_id)[0]
+            n_text = int(boi_pos[0]) if len(boi_pos) else len(gen_ids)
+            live_ids = np.concatenate([live_ids, gen_ids[:n_text]])
+            cache = sink.truncate(out["cache"], sink.sink_len + len(live_ids))
+
+            # sink evictions once the window is full (the NEW image below
+            # brings context to n_images + 1)
+            n_images += 1
+            while n_images > cfg.window_size:
+                boi = int(np.where(live_ids == self._boi_id)[0][0])
+                eoi = int(np.where(live_ids == self._eoi_id)[0][0])
+                cache, dropped = sink.evict_image_span(
+                    cache, boi, eoi, live_len=len(live_ids)
+                )
+                live_ids = live_ids[dropped:]
+                n_images -= 1
+
+            # prefill ONLY the comprehension block of the new image
+            out = gen.generate(
+                suffix_ids, out["img_gen_feat"], np.ones((1,), bool),
+                suffix_cmp, cache=cache,
+            )
+            live_ids = np.concatenate([live_ids, suffix_ids])
 
     # -- batched serving path -----------------------------------------
 

@@ -211,3 +211,70 @@ def test_story_pipeline_25_segments_window8():
     # eviction really engaged (contexts stopped growing)
     late = [s.context_tokens for s in segs[-8:]]
     assert max(late) - min(late) <= per_seg, late
+
+
+def test_story_pipeline_run_sink_25_segments():
+    """Sink-threaded GENERATION (run_sink, beyond the reference): the
+    25-segment window-8 story runs end to end with the KV cache carried
+    across segments — per-segment prefill is only the 66-token
+    comprehension block, old segments leave via sink evictions. Checks:
+    full story, first segment identical to run() (the flows share the
+    first generate call), deterministic, and the threaded cache stays
+    within its fixed capacity at steady state."""
+    acfg = AgentConfig.tiny()
+    agent = ContinuousLVLM(acfg)
+    tok = TinyTokenizer()
+    seq, n = 64, 1
+    init_args = dict(
+        input_ids=jnp.ones((1, seq), jnp.int32),
+        attention_mask=jnp.ones((1, seq), jnp.int32),
+        labels=jnp.zeros((1, seq), jnp.int32),
+        image_embeds=jnp.zeros((n, acfg.num_vit_tokens, acfg.vit_dim)),
+        embeds_gen_mask=jnp.ones((n,), bool),
+        embeds_cmp_mask=jnp.ones((n,), bool),
+        ids_gen_mask=jnp.zeros((1, seq), bool).at[0, 10:19].set(True),
+        ids_cmp_mask=jnp.zeros((1, seq), bool).at[0, 30:34].set(True),
+    )
+    params = agent.init(jax.random.PRNGKey(7), **init_args)["params"]
+    gcfg = GenerateConfig(
+        max_new_tokens=24,
+        num_img_gen_tokens=acfg.num_img_out_tokens,
+        cache_capacity=1024,
+        prompt_bucket=64,
+        force_boi_at=8,
+        max_context_images=8,
+        return_cache=True,
+    )
+
+    def visual_encode(pixels):
+        return np.zeros((1, acfg.num_vit_tokens, acfg.vit_dim), np.float32)
+
+    gen = StoryGenerator(agent, params, gcfg)
+    pipe = StoryGenerationPipeline(
+        tok, gen, visual_encode, None,
+        StoryPipelineConfig(story_len=25, window_size=8,
+                            num_img_in_tokens=acfg.num_img_in_tokens),
+    )
+    start = np.zeros((1, 3, 8, 8), np.float32)
+    segs = list(pipe.run_sink(start, "a long story"))
+    with_feats = [s for s in segs if s.image_features is not None]
+    assert len(with_feats) == 24, len(segs)
+    assert [s.index for s in with_feats] == list(range(1, 25))
+
+    # the first generate call is shared with run(): same first segment
+    ref_first = next(iter(pipe.run(start, "a long story")))
+    assert segs[0].text == ref_first.text
+
+    # deterministic end to end
+    segs2 = list(pipe.run_sink(start, "a long story"))
+    assert [s.text for s in segs] == [s.text for s in segs2]
+    for a, b in zip(with_feats, (s for s in segs2
+                                 if s.image_features is not None)):
+        np.testing.assert_array_equal(a.image_features, b.image_features)
+
+    # threaded-cache occupancy stays within the fixed capacity and stops
+    # growing once evictions keep pace (sink budget + live window)
+    assert max(s.context_tokens for s in segs) <= gcfg.cache_capacity
+    late = [s.context_tokens for s in segs[-6:]]
+    per_seg = gcfg.max_new_tokens + 3 * acfg.num_img_in_tokens
+    assert max(late) - min(late) <= per_seg, late
