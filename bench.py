@@ -1,24 +1,39 @@
 """Benchmark: story segments/min (text + 1024px image) on the real TPU chip.
 
-Flagship (default) preset runs the TRUE 7B envelope from the reference's
-gen_george.py:189-210: LLaMA-2-7B agent (bf16, LoRA r16), 500 new
+Flagship (default) configuration is the reference's FULL story envelope
+(gen_george.py:189-210, story_len 25): LLaMA-2-7B agent, 500 new
 tokens/segment with forced image blocks + feature feedback + window-8
-eviction, and the full SDXL-base 1024px 50-step CFG de-tokenizer.
+eviction, the full SDXL-base 1024px 50-step CFG de-tokenizer CO-RESIDENT
+and interleaved (image rendered inside the story loop per segment —
+gen_george.py:208-224), B=1 (the reference loops val stories one at a
+time, gen_george.py:152), measured over the 25-segment steady state.
 
-Default mode is CO-RESIDENT/INTERLEAVED (round 3): int8 MLLM (6.7GB) +
-int8 window-8 KV (1.5GB) + bf16 SDXL (5.5GB) share the 16GB chip and the
-de-tokenizer runs inside the story loop per segment — the reference's
-actual flow (gen_george.py:208-224), measuring true per-segment latency.
+DRIVER-PROOFING (round 5 — BENCH_r04 died rc=124 before emitting a line):
+  * Global wall budget (SEED_STORY_BENCH_BUDGET_S, default 1080 s): every
+    phase checks the remaining budget; warmup and the timed story are
+    consumed SEGMENT BY SEGMENT and stop early rather than blow the
+    driver's clock. A truncated run emits an honest (annotated) headline
+    from the segments it completed.
+  * The headline JSON line is printed the moment the FIRST mode finishes;
+    later modes append improved lines. The LAST stdout line is always the
+    best headline.
+  * Cold compile cache (the expected driver state after code changes):
+    the kernel gate is skipped (annotated) when the persistent cache is
+    empty and the budget cannot absorb ~6 extra remote compiles; if cold
+    compiles eat the warmup, the headline falls back to the median of
+    trailing per-segment times (annotated "steady_state_median") so
+    compile stalls never pollute the number.
+  * Health-gate sleeps are capped against the remaining budget.
+
 Two-phase fallback (SEED_STORY_BENCH_INTERLEAVED=0, and automatic for
-bf16 params or multi-story serving, whose footprints don't co-reside):
-(A) decode every segment, recording the regressed image features (the
-pipeline feeds back the MLLM's OWN features, never re-encoded pixels —
-gen_george.py:209-224 — so deferring detok changes nothing), then (B)
-free the MLLM and de-tokenize every feature; segments/min sums the phase
-times. On a v5e-8, pipelines/serving.py overlaps the stages on disjoint
-chips instead.
+bf16 params or >max-co-resident serving): (A) decode every segment,
+recording the regressed image features (the pipeline feeds back the
+MLLM's OWN features, never re-encoded pixels — gen_george.py:209-224 —
+so deferring detok changes nothing), then (B) de-tokenize every feature;
+segments/min sums the phase times. On a v5e-8, pipelines/serving.py
+overlaps the stages on disjoint chips instead.
 
-Prints ONE JSON line:
+Prints headline JSON line(s); the last stdout line is the official one:
 
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
@@ -29,21 +44,26 @@ reference publishes no throughput numbers, BASELINE.md).
 
 Scale via env:
   SEED_STORY_BENCH_PRESET = pico | small | full (default)
-  SEED_STORY_BENCH_SEGMENTS (default 8; =25 is the flagship steady-state
-      story — PERF.md "25-segment flagship")
-  SEED_STORY_BENCH_MODES = "2,1" (default): concurrent-story counts to
-      measure; headline = best, the B=1 latency mode rides along as
-      b1_segments_per_min. SEED_STORY_BENCH_STORIES=N pins one mode.
+  SEED_STORY_BENCH_SEGMENTS (default 25: the flagship steady-state story —
+      PERF.md "25-segment flagship"; 8 reproduces the round-3/4 comparable)
+  SEED_STORY_BENCH_MODES (default "1"): comma list of modes, measured in
+      order. Tokens: an int N = N concurrent co-resident stories (lockstep
+      serving; at 25-segment steady state B>=2 collapses — PERF.md — so the
+      default is the B=1 reference-latency flow); "sink" = sink-threaded
+      generation (run_sink: KV cache carried across segments, prefill only
+      the new image block). Headline = best mode; the B=1 latency mode
+      rides along as b1_segments_per_min when it is not the best.
+      SEED_STORY_BENCH_STORIES=N pins one serving mode (back-compat).
+  SEED_STORY_BENCH_BUDGET_S = 1080: global wall budget (seconds).
   SEED_STORY_BENCH_SDXL = 1 (default) | 0 (stub the de-tokenizer)
   SEED_STORY_BENCH_STEPS = 50 (SDXL denoise steps)
   SEED_STORY_BENCH_INT8 = 1 (default, full preset only): weight-only int8
       projections for the MLLM decode phase (quantize_base) — B=1 decode
       is HBM-bound, int8 params measured 10.7 ms/token vs 18.6 bf16.
-  SEED_STORY_BENCH_SDXL_INT8 = 1 (default, full): weight-only int8 UNet
-      (round 4) — less streaming per eval AND ~2.4GB freed, funding a 3rd
-      co-resident story; divergence bound in tests/test_sdxl_parity.py.
-  Health: the bench refuses to time in a degraded tunnel window (retries,
-      then annotates the JSON with health_degraded).
+  SEED_STORY_BENCH_SDXL_INT8 (full preset): weight-only int8 UNet. Round-5
+      default follows the data (see PERF.md "int8 UNet decision").
+  Health: the bench refuses to time in a degraded tunnel window (retries
+      within budget, then annotates the JSON with health_degraded).
 """
 
 import gc
@@ -102,17 +122,23 @@ def measure_health():
 
 HEALTH_MIN_TFS = 40.0  # under this the tunnel/chip is in a degraded window
 
+FINALIZE_RESERVE_S = 40.0  # post-story health probe + JSON emission
 
-def health_gate():
+
+def health_gate(deadline=None):
     """Refuse to time on a degraded chip: retry (sleep 90s, up to 5x) until
     the GEMM control clears HEALTH_MIN_TFS; give up and annotate after that
-    (the driver still gets a number, flagged as degraded)."""
+    (the driver still gets a number, flagged as degraded). Sleeps are capped
+    against the global wall budget: never sleep past the point where too
+    little budget remains to measure anything."""
     tfs = measure_health()
     if not (tfs == tfs):  # CPU: no gate
         return tfs, True
     for _ in range(5):
         if tfs >= HEALTH_MIN_TFS:
             return tfs, True
+        if deadline is not None and time.time() + 90 > deadline - 600:
+            break  # sleeping more would eat the budget a story needs
         print(f"bench: chip health {tfs:.0f} TF/s < {HEALTH_MIN_TFS:.0f} "
               "(degraded tunnel window) — waiting 90s", file=sys.stderr,
               flush=True)
@@ -205,32 +231,15 @@ def build(preset: str, int8: bool = False, kv_int8: bool = False):
     return AgentConfig(llm=llm), 500
 
 
-def run_mllm_phase(preset, acfg, max_new, n_segments, window, n_stories=1,
-                   detokenize=None):
-    """Phase A: build the agent, decode warmup + n_segments story segments.
-
-    ``n_stories`` > 1 runs that many independent stories in lockstep
-    through one on-device program (StoryGenerator.generate_batch) — the
-    serving configuration; B=1 is the latency configuration matching the
-    reference's one-story-at-a-time loop.
-
-    ``detokenize`` (interleaved mode): de-tokenizer hook called INSIDE the
-    story loop per segment, exactly like the reference's
-    adapter.generate inside the loop (gen_george.py:208-224) — requires
-    the MLLM and SDXL to co-reside on the chip.
-
-    Returns (timed_seconds, list_of_feature_arrays (host numpy)).
-    """
+def build_agent(preset, acfg):
+    """Agent + randomized params, built ONCE and shared across modes
+    (7B init through the tunnel costs tens of seconds per call)."""
+    import flax.linen as nn
     import jax
     import jax.numpy as jnp
 
     from seed_story_tpu.data.tokenizer import TinyTokenizer
-    from seed_story_tpu.decode.generate import GenerateConfig, StoryGenerator
     from seed_story_tpu.models.agent import ContinuousLVLM
-    from seed_story_tpu.pipelines.story_generation import (
-        StoryGenerationPipeline,
-        StoryPipelineConfig,
-    )
 
     agent = ContinuousLVLM(acfg)
     tok = TinyTokenizer()
@@ -250,13 +259,46 @@ def run_mllm_phase(preset, acfg, max_new, n_segments, window, n_stories=1,
             0, 40 : 40 + acfg.num_img_in_tokens
         ].set(True),
     )
-    import flax.linen as nn
 
     def init_params():
         p = nn.meta.unbox(agent.init(jax.random.PRNGKey(0), **init_args)["params"])
         return _randomize_int8(p)
 
     params = jax.jit(init_params)()
+    return agent, tok, params
+
+
+def run_mode(agent, tok, params, acfg, preset, max_new, n_segments, window,
+             mode, detokenize=None, deadline=None):
+    """Measure one mode: ``mode`` is an int (N lockstep co-resident
+    stories through StoryGenerator.generate_batch; 1 = the reference's
+    one-story-at-a-time latency flow, gen_george.py:152) or ``"sink"``
+    (run_sink: the KV cache threaded across segments, prefill only the
+    new image's 66-token block).
+
+    ``detokenize`` (interleaved mode): de-tokenizer hook called INSIDE the
+    story loop per segment, exactly like the reference's
+    adapter.generate inside the loop (gen_george.py:208-224) — requires
+    the MLLM and SDXL to co-reside on the chip.
+
+    Budget-aware: warmup and the timed story are consumed SEGMENT BY
+    SEGMENT; either stops early when ``deadline`` nears, and the result
+    carries honest annotations (warmup_truncated / truncated +
+    methodology) instead of a dead driver.
+
+    Returns a mode dict (segments_per_min, feats, annotations).
+    """
+    from seed_story_tpu.decode.generate import GenerateConfig, StoryGenerator
+    from seed_story_tpu.pipelines.story_generation import (
+        StoryGenerationPipeline,
+        StoryPipelineConfig,
+    )
+
+    sink = mode == "sink"
+    n_stories = 1 if sink else int(mode)
+
+    def time_left():
+        return float("inf") if deadline is None else deadline - time.time()
 
     # static-shape sizing: a window-W prompt maxes out around
     # start + W*(max_new + 70) tokens. Fine-grained 512-token prompt
@@ -270,6 +312,13 @@ def run_mllm_phase(preset, acfg, max_new, n_segments, window, n_stories=1,
     # (verify pass == one decode pass, PERF.md), and the forced image
     # chains + random-weight repetition loops accept at high rate
     spec = int(os.environ.get("SEED_STORY_BENCH_SPEC", "4"))
+    if sink:
+        # threaded fixed-capacity cache: prompt + window live tokens +
+        # decode headroom + the sink budget (~28 retained tokens per
+        # evicted image — sink_cache.py)
+        capacity = max_prompt + max_new + spec + 1 + 28 * (n_segments + 1)
+    else:
+        capacity = max_prompt + max_new
     gcfg = GenerateConfig(
         max_new_tokens=max_new,
         num_img_gen_tokens=acfg.num_img_out_tokens,
@@ -279,13 +328,17 @@ def run_mllm_phase(preset, acfg, max_new, n_segments, window, n_stories=1,
         # decode + image cost. This is the conservative direction: early
         # EOS would only make segments cheaper.
         eos_token_id=-1,
-        cache_capacity=(max_prompt + max_new + 127) // 128 * 128,
+        cache_capacity=(capacity + 127) // 128 * 128,
         prompt_bucket=512 if preset == "full" else 128,
         force_boi_at=max_new - acfg.num_img_out_tokens - 8,
         max_context_images=window,
-        return_cache=False,  # story flow never reads it back; saves a 7B-cache copy
+        # the sink flow threads the cache back (return_cache=True, ONE
+        # donated cache alive); the re-prefill flow never reads it —
+        # False saves a 7B-cache copy
+        return_cache=sink,
         # round 4: the spec loop is batch-general (per-row accept counts),
-        # so lockstep multi-story serving compounds batching x speculation
+        # so lockstep multi-story serving compounds batching x speculation;
+        # round 5: commit blocks are contiguous, so it threads with sink too
         speculate_k=spec,
     )
     gen = StoryGenerator(agent, params, gcfg)
@@ -304,41 +357,96 @@ def run_mllm_phase(preset, acfg, max_new, n_segments, window, n_stories=1,
             ),
         )
 
-    def run_story(n_seg, detok):
+    def story_iter(n_seg, detok):
+        """Yields (n_new_segments, feats) batches — one per segment (B=1)
+        or per lockstep round (B>1) — so the caller can budget-check
+        between device calls."""
         if n_stories > 1:
             seeds = [
                 (np.full((1, 3, 8, 8), s * 0.1, np.float32),
                  f"george the monkey went to the park chapter {s}")
                 for s in range(n_stories)
             ]
-            rounds = list(mk_pipe(n_seg, detok).run_batch(seeds))
-            return [seg for r in rounds for seg in r if seg is not None]
-        return list(mk_pipe(n_seg, detok).run(
-            np.zeros((1, 3, 8, 8), np.float32),
-            "george the monkey went to the park",
-        ))
+            for r in mk_pipe(n_seg, detok).run_batch(seeds):
+                live = [seg for seg in r if seg is not None]
+                yield len(live), [np.asarray(s.image_features, np.float32)
+                                  for s in live
+                                  if s.image_features is not None]
+        else:
+            it = (mk_pipe(n_seg, detok).run_sink if sink
+                  else mk_pipe(n_seg, detok).run)
+            for seg in it(np.zeros((1, 3, 8, 8), np.float32),
+                          "george the monkey went to the park"):
+                yield 1, ([np.asarray(seg.image_features, np.float32)]
+                          if seg.image_features is not None else [])
 
-    # warmup: a story pass compiles every prompt bucket the timed pass
-    # will hit (compiles must not land inside the timed region). The
-    # de-tokenizer hook is DISABLED here — its programs don't depend on
-    # the story state, so one warmup image (done by the caller at build
-    # time) covers it and the warmup story doesn't pay n_segments x 7 s
-    # of redundant image sampling (round-4 setup_s cut). The bucket set
-    # SATURATES once the window fills (steady-state prompt lengths
-    # oscillate over a fixed set of 512-token buckets as evictions keep
-    # pace with growth), so the warmup story stops at window+3 segments —
-    # a 25-segment flagship run warms in 11 segments, not 25; any
-    # residual long-tail bucket still lands in the persistent cache.
+    # warmup: a story pass compiles every program the timed pass will hit
+    # (compiles must not land inside the timed region). The de-tokenizer
+    # hook is DISABLED here — its programs don't depend on the story
+    # state, so one warmup image (done by the caller at build time)
+    # covers it. The bucket set SATURATES once the window fills
+    # (steady-state prompt lengths oscillate over a fixed set of
+    # 512-token buckets as evictions keep pace with growth), so the
+    # warmup story stops at window+3 segments — a 25-segment flagship run
+    # warms in 11 segments, not 25. Budget: warmup aborts early (cold
+    # cache, remote compiles) rather than eat the whole budget; the timed
+    # story then reports the median of trailing segments instead.
+    warm_target = min(n_segments, window + 3)
+    warmup_done, warmup_truncated = 0, False
     t0 = time.perf_counter()
-    run_story(min(n_segments, window + 3), None)
+    for n_new, _ in story_iter(warm_target, None):
+        warmup_done += n_new
+        elapsed = time.perf_counter() - t0
+        per = elapsed / max(warmup_done, 1)
+        if time_left() < max(150.0, 4 * per + FINALIZE_RESERVE_S):
+            warmup_truncated = warmup_done < warm_target * max(n_stories, 1)
+            break
     warmup_s = time.perf_counter() - t0
 
+    # timed story, consumed per segment with budget checks
+    feats, seg_walls = [], []
+    n_done = 0
+    truncated = False
     t0 = time.perf_counter()
-    segs = run_story(n_segments, detokenize)
-    dt = time.perf_counter() - t0
-    feats = [np.asarray(s.image_features, np.float32)
-             for s in segs if s.image_features is not None]
-    return dt, feats, warmup_s
+    t_prev = t0
+    for n_new, f in story_iter(n_segments, detokenize):
+        t_now = time.perf_counter()
+        seg_walls.append((t_now - t_prev) / max(n_new, 1))
+        t_prev = t_now
+        n_done += n_new
+        feats.extend(f)
+        if time_left() < 1.3 * seg_walls[-1] + FINALIZE_RESERVE_S:
+            truncated = n_done < n_segments * max(n_stories, 1)
+            break
+    total_s = time.perf_counter() - t0
+
+    result = {
+        "stories": mode if sink else n_stories,
+        "segments": n_done,
+        "total_s": round(total_s, 2),
+        "warmup_s": round(warmup_s, 1),
+        "feats": feats,
+        "methodology": "full_story_wall",
+    }
+    if n_done == 0:
+        result["error"] = "budget_exhausted_before_any_segment"
+        return result
+    if warmup_truncated and len(seg_walls) >= 3:
+        # cold-compile stalls landed inside the timed region: the honest
+        # steady-state number is the median of the trailing segments
+        # (compile outliers are early and huge; the median of the back
+        # half is clean once programs cache) — annotated, never silent
+        tail = seg_walls[len(seg_walls) // 2:]
+        result["segments_per_min"] = round(60.0 / float(np.median(tail)), 2)
+        result["methodology"] = "steady_state_median"
+        result["warmup_truncated"] = True
+    else:
+        result["segments_per_min"] = round(n_done / total_s * 60.0, 2)
+        if warmup_truncated:
+            result["warmup_truncated"] = True
+    if truncated:
+        result["truncated_at"] = n_done
+    return result
 
 
 def _randomize_int8(params):
@@ -430,13 +538,18 @@ def run_sdxl_phase(acfg, feats, sdxl_steps, int8=False):
 
 def main():
     t_setup = time.time()
+    budget = float(os.environ.get("SEED_STORY_BENCH_BUDGET_S", "1080"))
+    deadline = t_setup + budget
+
+    def time_left():
+        return deadline - time.time()
+
     preset = os.environ.get("SEED_STORY_BENCH_PRESET", "full")
-    # 8 segments: the story walks the context window up to its full
-    # window-8 width (reference stories run 25 segments at steady state;
-    # segments here average slightly cheaper than steady state since the
-    # first few carry short prompts). SEED_STORY_BENCH_SEGMENTS=25 is the
-    # flagship steady-state reproduction (PERF.md).
-    n_segments = int(os.environ.get("SEED_STORY_BENCH_SEGMENTS", "8"))
+    # 25 segments: the reference's full story envelope (gen_george.py:205
+    # story_len=25) at window-8 STEADY STATE — every segment past the 8th
+    # runs the top prompt bucket + full-size KV cache. 8 reproduces the
+    # round-3/4 comparable (cheaper early buckets pull the average up ~4%).
+    n_segments = int(os.environ.get("SEED_STORY_BENCH_SEGMENTS", "25"))
 
     # a full axon-tunnel outage makes this import HANG (CLAUDE.md); say so
     # up front so a stalled driver log shows the cause
@@ -465,13 +578,22 @@ def main():
               file=sys.stderr, flush=True)
 
     t0 = time.time()
-    phase("kernel gate (compiled-Pallas parity on this chip)")
-    kernel_gate()  # compiled-Pallas parity on the actual chip, pre-timing
+    # kernel gate (compiled-Pallas parity on this chip): ~6 programs. On a
+    # WARM cache it costs seconds; on a COLD cache it is ~6 remote compiles
+    # (30-300 s each) the budget cannot absorb — skip it (annotated) and
+    # let the story programs (whose outputs the suite pins functionally)
+    # carry the run. The gate still runs on every warm-cache invocation.
+    gate_skipped = cache_before == 0 and time_left() < 1500
+    if gate_skipped:
+        phase("kernel gate SKIPPED (cold compile cache + tight budget)")
+    else:
+        phase("kernel gate (compiled-Pallas parity on this chip)")
+        kernel_gate()
 
     # chip-health gate: never time in a degraded tunnel window (round-3
     # lesson: BENCH_r03 was taxed ~2.5% by one; a 10x window would have
     # produced a 0.5 seg/min artifact with nothing flagging it)
-    health_pre, healthy = health_gate()
+    health_pre, healthy = health_gate(deadline)
     breakdown["gates_s"] = round(time.time() - t0, 1)
 
     int8 = (
@@ -480,10 +602,13 @@ def main():
     kv_int8 = (
         os.environ.get("SEED_STORY_BENCH_KVINT8", "1") == "1" and preset == "full"
     )
-    # weight-only int8 UNet (round 4): ~2.4GB less streaming AND footprint;
-    # divergence bound pinned in tests/test_sdxl_parity.py
+    # weight-only int8 UNet (round 4) is OPT-IN: measured no latency win on
+    # any headline mode and adds quantization-divergence risk with no FID
+    # infra to validate — the bf16 UNet is the default (PERF.md round-5
+    # "int8 UNet decision"); int8 remains the memory knob for the B=3
+    # co-residency envelope.
     sdxl_int8 = (
-        os.environ.get("SEED_STORY_BENCH_SDXL_INT8", "1") == "1"
+        os.environ.get("SEED_STORY_BENCH_SDXL_INT8", "0") == "1"
         and preset == "full"
     )
     acfg, max_new = build(preset, int8, kv_int8)
@@ -498,17 +623,23 @@ def main():
     )
     sdxl_steps = int(os.environ.get("SEED_STORY_BENCH_STEPS", "50"))
 
-    # Modes: B concurrent co-resident stories, measured per mode.
-    # SEED_STORY_BENCH_STORIES pins ONE mode (back-compat);
-    # SEED_STORY_BENCH_MODES="2,1" (default) measures the best honest
-    # serving configuration AND the reference-comparable B=1 latency mode
-    # in one run — both land in the JSON, the headline is the best.
+    # Modes, measured in ORDER (the headline JSON is emitted after each —
+    # a budget kill mid-list still leaves the completed modes' lines).
+    # Default "1": the reference-comparable B=1 latency flow is the
+    # official number; B>=2 collapses at 25-segment steady state (PERF.md)
+    # so serving modes are opt-in. "sink" = run_sink cache-threaded
+    # generation. SEED_STORY_BENCH_STORIES pins one serving mode.
     stories_env = os.environ.get("SEED_STORY_BENCH_STORIES")
     if stories_env is not None:
         mode_list = [int(stories_env)]
     else:
-        mode_list = [int(x) for x in os.environ.get(
-            "SEED_STORY_BENCH_MODES", "2,1").split(",")]
+        mode_list = [
+            tok if tok == "sink" else int(tok)
+            for tok in os.environ.get("SEED_STORY_BENCH_MODES", "1").split(",")
+        ]
+
+    def mode_stories(m):
+        return 1 if m == "sink" else int(m)
 
     # Interleaved (co-resident): MLLM + per-story int8 KV caches + SDXL
     # share the 16GB chip and the de-tokenizer runs INSIDE the story loop
@@ -524,7 +655,8 @@ def main():
 
     pipe = neg = None
     detok_time = [0.0]
-    if interleaved_allowed and any(n <= max_coresident for n in mode_list):
+    if interleaved_allowed and any(mode_stories(m) <= max_coresident
+                                   for m in mode_list):
         t0 = time.time()
         phase("building SDXL pipe + warmup image")
         pipe, neg = build_sdxl_pipe(acfg, sdxl_steps, sdxl_int8)
@@ -545,36 +677,144 @@ def main():
     else:
         detok = None
 
+    t0 = time.time()
+    phase("building agent + params (shared across modes)")
+    agent, tok, params = build_agent(preset, acfg)
+    jax.block_until_ready(params)
+    breakdown["agent_init_s"] = round(time.time() - t0, 1)
+
     modes = []
     setup_s = None
-    for n_stories in mode_list:
+    health_post = float("nan")
+
+    def emit(final=False):
+        """Print debug (stderr) then the headline (stdout) for the best
+        mode so far — called after EVERY completed mode, so a wall-clock
+        kill mid-run still leaves a parseable tail. The last stdout line
+        is always the current best headline."""
+        ok_modes = [m for m in modes if "error" not in m]
+        if not ok_modes:
+            return False
+        best = max(ok_modes, key=lambda m: m["segments_per_min"])
+        b1 = next((m for m in ok_modes
+                   if m["stories"] == 1 and m["methodology"]), None)
+        segments_per_min = best["segments_per_min"]
+
+        detok_desc = (f"SDXL-base 1024px {sdxl_steps}-step CFG" if use_sdxl
+                      else "detok stubbed")
+        if sdxl_int8 and use_sdxl:
+            detok_desc += " int8-UNet"
+        if best["interleaved"]:
+            detok_desc += " co-resident/interleaved"
+        spec = int(os.environ.get("SEED_STORY_BENCH_SPEC", "4"))
+        q = ("int8-weight" + ("+kv" if kv_int8 else "")
+             + (f"+speculative(k={spec})" if spec else "") + " decode")
+        scale = (f"7B {q}" if int8 else "7B") if preset == "full" else preset
+        if best["stories"] == "sink":
+            serve = "; sink-threaded KV cache (run_sink)"
+        elif best["stories"] > 1:
+            serve = (f"; {best['stories']} concurrent stories "
+                     "(lockstep serving)")
+        else:
+            serve = ""
+        result = {
+            "metric": f"story segments/min (text+image; {scale} MLLM, "
+                      f"{max_new} new tokens/segment, window-{window}, "
+                      f"{n_segments}-segment story{serve}; "
+                      f"{detok_desc}; single v5e chip; vs_baseline = ratio "
+                      "to A100 reference-stack estimate "
+                      f"{A100_REFERENCE_SEGMENTS_PER_MIN} seg/min)",
+            "value": segments_per_min,
+            "unit": "segments/min",
+            "vs_baseline": round(
+                segments_per_min / A100_REFERENCE_SEGMENTS_PER_MIN, 2),
+            # honesty band: the A100 number is an estimate; these are the
+            # ratios against its optimistic/pessimistic endpoints (module
+            # docstring derivation)
+            "vs_baseline_range": [
+                round(segments_per_min / A100_REFERENCE_RANGE[1], 2),
+                round(segments_per_min / A100_REFERENCE_RANGE[0], 2),
+            ],
+        }
+        if b1 is not None and b1 is not best:
+            # reference-comparable latency mode (the reference loops val
+            # stories one at a time, gen_george.py:152)
+            result["b1_segments_per_min"] = b1["segments_per_min"]
+        if best["methodology"] != "full_story_wall":
+            result["methodology"] = best["methodology"]
+        if "truncated_at" in best:
+            result["truncated_at"] = best["truncated_at"]
+        if gate_skipped:
+            result["kernel_gate"] = "skipped_cold_budget"
+        if healthy is False or (health_post == health_post
+                                and health_post < HEALTH_MIN_TFS):
+            result["health_degraded"] = True
+        dbg = {"debug": {
+            "modes": [{k: v for k, v in m.items() if k != "feats"}
+                      for m in modes],
+            "setup_s": round(setup_s, 1) if setup_s is not None else None,
+            # warm vs cold: new persistent-cache entries written this run
+            # (0 => every program came from the warm cache; setup_s is then
+            # init + warmup decode, not remote compiles)
+            "setup_breakdown": breakdown,
+            "compile_cache_new_entries": _cache_entries() - cache_before,
+            "budget_s": budget,
+            "budget_left_s": round(time_left(), 1),
+            # detok_s inside each mode is the in-loop SDXL time during the
+            # timed story (interleaved) or the phase-B wall time (two-
+            # phase); 0.0 never means "images skipped" anymore
+            "sdxl_in_mllm": bool(best["interleaved"]),
+            "sdxl_int8": sdxl_int8,
+            "health_tfs_pre": None if health_pre != health_pre
+            else round(health_pre, 1),
+            "health_tfs_post": None if health_post != health_post
+            else round(health_post, 1),
+            "backend": jax.default_backend()}}
+        print(json.dumps(dbg), file=sys.stderr, flush=True)
+        print(json.dumps(result), flush=True)
+        return True
+
+    for mode in mode_list:
+        n_stories = mode_stories(mode)
         interleaved = (interleaved_allowed and pipe is not None
                        and n_stories <= max_coresident)
+        ok_so_far = any("error" not in m for m in modes)
+        if ok_so_far and time_left() < 120:
+            phase(f"mode {mode} SKIPPED (budget: {time_left():.0f}s left)")
+            modes.append({"stories": mode, "error": "skipped_budget"})
+            continue
         detok_time[0] = 0.0
-        phase(f"mode stories={n_stories}: init + warmup story + timed story "
+        phase(f"mode {mode}: warmup story + timed story "
               f"({n_segments} segments, interleaved={interleaved})")
         try:
-            mllm_s, feats, warmup_s = run_mllm_phase(
-                preset, acfg, max_new, n_segments, window, n_stories,
+            m = run_mode(
+                agent, tok, params, acfg, preset, max_new, n_segments,
+                window, mode,
                 detokenize=detok if interleaved else None,
+                deadline=deadline,
             )
         except Exception as e:  # noqa: BLE001 — a marginal mode must not
             # kill the whole bench: the tunnel worker can briefly hold a
             # just-exited process's HBM (CLAUDE.md gotcha) and the highest
             # co-residency mode is memory-tight by design. Record and move
-            # on; the re-raise below fires only if EVERY mode failed.
-            print(f"bench: mode stories={n_stories} failed: "
+            # on; the final check fires only if EVERY mode failed.
+            print(f"bench: mode {mode} failed: "
                   f"{type(e).__name__}: {e}", file=sys.stderr, flush=True)
-            modes.append({"stories": n_stories, "error": f"{type(e).__name__}"})
+            modes.append({"stories": mode, "error": f"{type(e).__name__}"})
             gc.collect()
             continue
-        breakdown[f"warmup_b{n_stories}_s"] = round(warmup_s, 1)
+        breakdown[f"warmup_{mode}_s"] = m.pop("warmup_s")
+        if "error" in m:
+            modes.append(m)
+            continue
+        feats = m.pop("feats")
+        mllm_s = m["total_s"]
         if setup_s is None:
             # everything up to the first timed story: gates, inits, warmup
             setup_s = (time.time() - t_setup) - mllm_s
 
         if interleaved:
-            sdxl_s, n_done = detok_time[0], len(feats)
+            sdxl_s, n_done = detok_time[0], m["segments"]
         elif use_sdxl and feats:
             if pipe is not None:
                 # a co-resident pipe already exists (mixed mode list):
@@ -586,89 +826,34 @@ def main():
                     assert pipe.generate(f, neg)[0] is not None
                 sdxl_s, n_done = time.perf_counter() - t0, len(feats)
             else:
-                gc.collect()  # drop the MLLM params before a separate init
+                gc.collect()  # drop big temps before a separate init
                 sdxl_s, n_done = run_sdxl_phase(
                     acfg, feats, sdxl_steps, sdxl_int8)
-            mllm_s += sdxl_s  # two-phase: total = decode phase + detok phase
+            mllm_s += sdxl_s  # two-phase: total = decode + detok phases
+            m["segments"] = n_done
+            m["total_s"] = round(mllm_s, 2)
+            if m["methodology"] == "full_story_wall":
+                m["segments_per_min"] = round(n_done / mllm_s * 60.0, 2)
+            else:
+                # steady_state_median measured the decode phase only; fold
+                # the per-image detok cost into the per-segment time
+                med = 60.0 / m["segments_per_min"]
+                m["segments_per_min"] = round(
+                    60.0 / (med + sdxl_s / max(n_done, 1)), 2)
         else:
-            sdxl_s, n_done = 0.0, len(feats)
+            sdxl_s = 0.0
 
-        total_s = mllm_s  # interleaved: detok already inside the story loop
-        modes.append({
-            "stories": n_stories,
-            "segments_per_min": round(n_done / total_s * 60.0, 2),
-            "segments": n_done,
-            "total_s": round(total_s, 2),
-            "detok_s": round(sdxl_s, 2),
-            "interleaved": interleaved,
-        })
+        m["detok_s"] = round(sdxl_s, 2)
+        m["interleaved"] = interleaved
+        modes.append(m)
+        emit()
 
     health_post = measure_health()
-
-    ok_modes = [m for m in modes if "error" not in m]
-    if not ok_modes:
-        raise SystemExit(f"bench: every mode failed: {modes}")
-    best = max(ok_modes, key=lambda m: m["segments_per_min"])
-    b1 = next((m for m in ok_modes if m["stories"] == 1), None)
-    segments_per_min = best["segments_per_min"]
-
-    detok_desc = (f"SDXL-base 1024px {sdxl_steps}-step CFG" if use_sdxl
-                  else "detok stubbed")
-    if sdxl_int8 and use_sdxl:
-        detok_desc += " int8-UNet"
-    if best["interleaved"]:
-        detok_desc += " co-resident/interleaved"
-    spec = int(os.environ.get("SEED_STORY_BENCH_SPEC", "4"))
-    q = ("int8-weight" + ("+kv" if kv_int8 else "")
-         + (f"+speculative(k={spec})" if spec else "") + " decode")
-    scale = (f"7B {q}" if int8 else "7B") if preset == "full" else preset
-    serve = (f"; {best['stories']} concurrent stories (lockstep serving)"
-             if best["stories"] > 1 else "")
-    result = {
-        "metric": f"story segments/min (text+image; {scale} MLLM, "
-                  f"{max_new} new tokens/segment, window-{window}{serve}; "
-                  f"{detok_desc}; single v5e chip; vs_baseline = ratio to A100 "
-                  f"reference-stack estimate {A100_REFERENCE_SEGMENTS_PER_MIN} seg/min)",
-        "value": segments_per_min,
-        "unit": "segments/min",
-        "vs_baseline": round(segments_per_min / A100_REFERENCE_SEGMENTS_PER_MIN, 2),
-        # honesty band: the A100 number is an estimate; these are the
-        # ratios against its optimistic/pessimistic endpoints (module
-        # docstring derivation)
-        "vs_baseline_range": [
-            round(segments_per_min / A100_REFERENCE_RANGE[1], 2),
-            round(segments_per_min / A100_REFERENCE_RANGE[0], 2),
-        ],
-    }
-    if b1 is not None and b1 is not best:
-        # reference-comparable latency mode (the reference loops val
-        # stories one at a time, gen_george.py:152)
-        result["b1_segments_per_min"] = b1["segments_per_min"]
-    if healthy is False or (health_post == health_post
-                            and health_post < HEALTH_MIN_TFS):
-        result["health_degraded"] = True
-    print(json.dumps(result))
-    print(
-        json.dumps({"debug": {
-            "modes": modes,
-            "setup_s": round(setup_s, 1) if setup_s is not None else None,
-            # warm vs cold: new persistent-cache entries written this run
-            # (0 => every program came from the warm cache; setup_s is then
-            # init + warmup decode, not remote compiles)
-            "setup_breakdown": breakdown,
-            "compile_cache_new_entries": _cache_entries() - cache_before,
-            # detok_s inside each mode is the in-loop SDXL time during the
-            # timed story (interleaved) or the phase-B wall time (two-
-            # phase); 0.0 never means "images skipped" anymore
-            "sdxl_in_mllm": bool(best["interleaved"]),
-            "sdxl_int8": sdxl_int8,
-            "health_tfs_pre": None if health_pre != health_pre
-            else round(health_pre, 1),
-            "health_tfs_post": None if health_post != health_post
-            else round(health_post, 1),
-            "backend": jax.default_backend()}}),
-        file=sys.stderr,
-    )
+    # final emission: the LAST stdout line is the official headline (with
+    # the post-run health annotation folded in)
+    if not emit(final=True):
+        raise SystemExit(f"bench: every mode failed: "
+                         f"{[{k: v for k, v in m.items() if k != 'feats'} for m in modes]}")
 
 
 if __name__ == "__main__":

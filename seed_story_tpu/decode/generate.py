@@ -211,10 +211,12 @@ class StoryGenerator:
 
         if cfg.speculate_k > 0:
             assert cfg.temperature == 0.0, "speculative decoding is greedy-only"
-            assert not cfg.return_cache, (
-                "speculative mode does not preserve the plain loop's final "
-                "cache length; use return_cache=False"
-            )
+            # return_cache=True composes with speculation: commit blocks are
+            # written contiguously at the per-row cache length, so the
+            # committed prefix [0, length) is always valid KV; entries
+            # beyond it are rejected-draft garbage. The sink pipeline (the
+            # only cache-threading consumer) re-truncates `length` to the
+            # tokens it keeps, which lands inside the committed prefix.
             num_generated, cache, tokens_buf, hidden_buf = self._spec_loop(
                 apply, agent, cache, tokens_buf, hidden_buf,
                 input_ids, prompt_len,

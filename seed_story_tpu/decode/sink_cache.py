@@ -54,11 +54,23 @@ class SinkKVCacheManager:
 
     The device cache layout invariant: slots [0, sink_len) hold retained
     sink tokens, [sink_len, length) the live (un-evicted) suffix, in order.
+
+    The reference policy (img_head_tail) retains ~24-28 tokens PER evicted
+    image forever (12 around <img> + 12 around </img>, + the one-time first
+    4), so the sink grows linearly with story length — size ``capacity``
+    accordingly. ``max_sink`` (beyond the reference) caps that growth: once
+    the sink exceeds it, the OLDEST per-image windows are dropped (the
+    first-4 StreamingLLM block is always kept), making cache occupancy — and
+    therefore story length — truly bounded.
     """
 
     capacity: int
+    max_sink: int | None = None
     sink_len: int = 0
     _has_first_sink: bool = False
+    # per-eviction retained window lengths, oldest first (excludes the
+    # one-time first-4 block) — consumed by the max_sink cap
+    _window_lens: List[int] = dataclasses.field(default_factory=list)
 
     def evict_image_span(
         self,
@@ -78,15 +90,30 @@ class SinkKVCacheManager:
         """
         s = self.sink_len
         keep: List[int] = list(range(s))  # existing sink block
+        first_len = 0
         if not self._has_first_sink:
             # first 4 tokens of the stream (currently at live positions 0..3)
-            keep += [s + i for i in range(min(FIRST_SINK, live_len))]
+            n_first = min(FIRST_SINK, live_len)
+            keep += [s + i for i in range(n_first)]
             self._has_first_sink = True
+            first_len = n_first
+        elif self._window_lens:
+            first_len = self.sink_len - sum(self._window_lens)
 
         lo = max(0, boi_idx - BOI_BACK)
-        keep += [s + i for i in range(lo, min(boi_idx + BOI_FWD, live_len))]
+        win = [s + i for i in range(lo, min(boi_idx + BOI_FWD, live_len))]
         lo = max(0, eoi_idx - EOI_BACK)
-        keep += [s + i for i in range(lo, min(eoi_idx + EOI_FWD, live_len))]
+        win += [s + i for i in range(lo, min(eoi_idx + EOI_FWD, live_len))]
+        keep += win
+        self._window_lens.append(len(win))
+
+        if self.max_sink is not None:
+            # bounded-sink mode (beyond the reference): drop the OLDEST
+            # per-image windows until the sink fits; the first-4 block
+            # (slots [0, first_len)) always survives
+            while len(keep) > self.max_sink and len(self._window_lens) > 1:
+                w = self._window_lens.pop(0)
+                del keep[first_len : first_len + w]
 
         new_sink_len = len(keep)
         # live tail after the evicted span (reference keeps from eoi+1)
@@ -98,7 +125,8 @@ class SinkKVCacheManager:
                 f"needs {new_len} slots ({new_sink_len} sink + "
                 f"{new_len - new_sink_len} live). Size the cache at "
                 "construction to >= prompt growth between evictions + the "
-                "accumulated sink budget (~28 tokens per evicted image)."
+                "accumulated sink budget (~28 tokens per evicted image), "
+                "or cap the sink with max_sink."
             )
 
         idx = np.zeros((self.capacity,), np.int32)

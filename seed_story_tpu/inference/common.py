@@ -103,6 +103,7 @@ def build_stack(
     decode_tp: int = 0,
     sdxl_int8: bool = False,
     speculate_k: int = 0,
+    sink: bool = False,
 ) -> InferenceStack:
     import jax
     import jax.numpy as jnp
@@ -162,10 +163,14 @@ def build_stack(
         force_boi_at=force_boi_at,
         # batched serving (lockstep stories) re-prefills every segment and
         # never threads a cache back; see StoryGenerator.generate_batch.
-        # Pipelined serving drives run_batch even for one story, and the
-        # speculative loop never preserves the plain loop's cache length.
-        return_cache=(batch_stories <= 1 and not pipelined_detok
-                      and speculate_k == 0),
+        # Pipelined serving drives run_batch even for one story. Only the
+        # sink flow (run_sink / vis pipeline) reads the cache back — for
+        # the plain story flow return_cache=False caps live cache copies
+        # at one (GenerateConfig docstring). Speculation composes with the
+        # threaded cache (commit blocks are contiguous at the cache
+        # length; decode/generate.py).
+        return_cache=(sink or (batch_stories <= 1 and not pipelined_detok
+                               and speculate_k == 0)),
         speculate_k=speculate_k,
     )
     mesh = None

@@ -56,6 +56,22 @@ def parse_args(argv=None):
                         "tokens + the committed token per pass (greedy "
                         "only, byte-identical output; works with "
                         "--batch_stories > 1 — per-row accept counts)")
+    p.add_argument("--sink", action="store_true",
+                   help="thread the multimodal attention-sink KV cache "
+                        "ACROSS segments (run_sink, beyond the reference): "
+                        "per-segment prefill is only the new image's "
+                        "66-token block instead of the whole window-8 "
+                        "prompt; old segments leave context via the sink "
+                        "eviction policy. Context semantics differ from "
+                        "the verbatim-window flow (see "
+                        "StoryGenerationPipeline.run_sink docstring).")
+    p.add_argument("--sink_max_tokens", type=int, default=None,
+                   help="cap retained sink tokens (default: the reference "
+                        "img_head_tail policy, ~28 tokens retained per "
+                        "evicted image forever)")
+    p.add_argument("--cache_capacity", type=int, default=None,
+                   help="KV cache slots for the sink flow (default: sized "
+                        "from story_len/window/max_new)")
     p.add_argument("--sdxl_int8", action="store_true",
                    help="weight-only int8 UNet projections/convs (per-"
                         "output-channel scales, quantize_unet_params): "
@@ -80,6 +96,24 @@ def main(argv=None):
     import contextlib
 
     args = parse_args(argv)
+    if args.sink and (args.batch_stories > 1 or args.detok_devices > 0):
+        raise SystemExit(
+            "--sink threads ONE story's KV cache across segments; it does "
+            "not compose with --batch_stories > 1 or --detok_devices"
+        )
+    cache_capacity = args.cache_capacity
+    if cache_capacity is None:
+        if args.sink:
+            # prompt + window live tokens + decode headroom + the sink
+            # budget (~28 retained tokens per evicted image — or the cap)
+            sink_budget = (min(args.sink_max_tokens, 28 * args.story_len)
+                           if args.sink_max_tokens is not None
+                           else 28 * args.story_len)
+            need = (80 + args.window_size * (args.max_new_tokens + 70)
+                    + args.max_new_tokens + args.speculate_k + 1 + sink_budget)
+            cache_capacity = -(-need // 128) * 128
+        else:
+            cache_capacity = 4096
     stack = build_stack(
         args.tokenizer, args.image_transform, args.visual_encoder,
         args.llm_model, args.agent_model,
@@ -96,6 +130,8 @@ def main(argv=None):
         decode_tp=args.decode_tp,
         sdxl_int8=args.sdxl_int8,
         speculate_k=args.speculate_k,
+        sink=args.sink,
+        cache_capacity=cache_capacity,
     )
 
     serving = args.detok_devices > 0 and stack.detok_factory is not None
@@ -105,6 +141,7 @@ def main(argv=None):
         StoryPipelineConfig(
             story_len=args.story_len, window_size=args.window_size,
             num_img_in_tokens=stack.num_img_in_tokens,
+            sink_max_tokens=args.sink_max_tokens,
         ),
     )
 
@@ -180,10 +217,11 @@ def main(argv=None):
                             save_segment(base + r, started[r][2], seg)
         return
 
+    run = pipe.run_sink if args.sink else pipe.run
     with mesh_ctx:
         for j, d in enumerate(data):
             pixels, question, save_folder = start_story(j, d)
-            for seg in pipe.run(pixels, question):
+            for seg in run(pixels, question):
                 save_segment(j, save_folder, seg)
 
 

@@ -31,6 +31,11 @@ class StoryPipelineConfig:
     window_size: int = 8
     num_img_in_tokens: int = 64
     instruction_prompt: str = "{instruction}"
+    # run_sink only: cap on retained sink tokens (None = the reference's
+    # img_head_tail policy, which grows ~24-28 tokens per evicted image
+    # forever — see decode/sink_cache.py). Set to bound cache occupancy
+    # (and therefore story length) strictly.
+    sink_max_tokens: Optional[int] = None
 
 
 @dataclasses.dataclass
@@ -148,8 +153,19 @@ class StoryGenerationPipeline:
         comprehension block is prefilled, the generated text tokens' KV is
         reused verbatim from decode time, and old segments leave context
         via the sink eviction policy (decode/sink_cache.py) instead of
-        prompt re-construction. Story length is unbounded by prompt
-        growth; the per-segment prefill is O(66) instead of O(window).
+        prompt re-construction. The per-segment prefill is O(66) instead
+        of O(window).
+
+        Occupancy: the sink policy permanently retains ~24-28 tokens per
+        evicted image (vis_george_sink.py:266-291 semantics), so cache
+        occupancy grows linearly past the window — size
+        ``gen.cfg.cache_capacity`` >= prompt + window live tokens +
+        max_new + ~28 x (story_len - window_size), or set
+        ``cfg.sink_max_tokens`` to cap the sink (beyond-reference knob)
+        and bound occupancy — and story length — strictly. A guard raises
+        before any generate call that could overflow the fixed-capacity
+        cache (inserts clamp rather than grow; overflow would silently
+        overwrite committed KV).
 
         Context semantics differ from run() in two documented ways:
         (a) carried context follows the sink retention policy, not the
@@ -177,7 +193,30 @@ class StoryGenerationPipeline:
             {"instruction": caption + image_tokens}
         )
         live_ids, ids_cmp = self._ids_and_masks(prompt, 1)
-        sink = SinkKVCacheManager(capacity=gen.cfg.cache_capacity)
+        sink = SinkKVCacheManager(
+            capacity=gen.cfg.cache_capacity, max_sink=cfg.sink_max_tokens
+        )
+        bucket = gen.cfg.prompt_bucket
+        slack = gen.cfg.speculate_k + 1 if gen.cfg.speculate_k > 0 else 0
+
+        def _guard_capacity(committed: int, prefill_len: int):
+            # inserts into the fixed-capacity cache clamp rather than grow:
+            # an overflowing call would silently overwrite committed KV, so
+            # refuse up front (prefill writes its full bucket-padded length)
+            padded = -(-prefill_len // bucket) * bucket
+            need = committed + padded + gen.cfg.max_new_tokens + slack
+            if need > gen.cfg.cache_capacity:
+                raise ValueError(
+                    f"run_sink: segment needs {need} cache slots "
+                    f"({committed} committed sink+live, {padded} padded "
+                    f"prefill, {gen.cfg.max_new_tokens}+{slack} decode) but "
+                    f"cache_capacity={gen.cfg.cache_capacity}. Size the "
+                    "capacity >= prompt + window live tokens + max_new + "
+                    "~28 x (story_len - window_size), or set "
+                    "StoryPipelineConfig.sink_max_tokens to cap sink growth."
+                )
+
+        _guard_capacity(0, len(live_ids))
         out = gen.generate(
             live_ids, jnp.asarray(self.visual_encode(image_pixels)),
             np.ones((1,), bool), ids_cmp,
@@ -188,9 +227,10 @@ class StoryGenerationPipeline:
             gen_ids = np.asarray(out["generate_ids"], np.int32)
             text = self._clean(gen_ids)
             if not out["has_img_output"]:
-                # closing text-only segment (mirrors run())
+                # closing text-only segment (mirrors run(): index 0 only
+                # when the very first generate ends the story)
                 yield StorySegment(
-                    text_id - 1 if text_id > 1 else 0, text, None, None,
+                    0 if text_id == 1 else text_id, text, None, None,
                     sink.sink_len + len(live_ids),
                 )
                 return
@@ -229,6 +269,7 @@ class StoryGenerationPipeline:
                 n_images -= 1
 
             # prefill ONLY the comprehension block of the new image
+            _guard_capacity(sink.sink_len + len(live_ids), len(suffix_ids))
             out = gen.generate(
                 suffix_ids, out["img_gen_feat"], np.ones((1,), bool),
                 suffix_cmp, cache=cache,

@@ -1,49 +1,102 @@
 """bench.py smoke: the driver-facing benchmark must keep emitting its JSON
-contract (one result line + one debug line) — nothing else in the suite
-imports bench.py, so a refactor there could otherwise rot unnoticed until
-the end-of-round driver run."""
+contract (headline line(s) on stdout + debug line(s) on stderr) — nothing
+else in the suite imports bench.py, so a refactor there could otherwise rot
+unnoticed until the end-of-round driver run.
+
+Round-5 driver-proofing contract (BENCH_r04 died rc=124 with zero output):
+the bench respects a global wall budget, emits the headline after EVERY
+completed mode (so a kill mid-list still leaves a parseable tail), and the
+LAST stdout line is always the best headline.
+"""
 
 import json
 import os
 import subprocess
 import sys
+import time
 
 import pytest
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-@pytest.mark.slow
-def test_bench_pico_json_contract():
+def _run_bench(env_extra, timeout=900):
     env = dict(os.environ)
     env.update(
         PYTHONPATH="",  # bypass the axon sitecustomize hook (tunnel-proof)
         JAX_PLATFORMS="cpu",
         SEED_STORY_BENCH_PRESET="pico",
-        SEED_STORY_BENCH_MODES="2,1",
-        SEED_STORY_BENCH_SEGMENTS="2",
     )
-    out = subprocess.run(
+    env.update(env_extra)
+    return subprocess.run(
         [sys.executable, "bench.py"], cwd=REPO, env=env,
-        capture_output=True, text=True, timeout=900,
+        capture_output=True, text=True, timeout=timeout,
     )
-    assert out.returncode == 0, out.stderr[-2000:]
+
+
+def _parse(out):
     result = json.loads(out.stdout.strip().splitlines()[-1])
+    debug_line = next(
+        ln for ln in out.stderr.strip().splitlines()[::-1]
+        if ln.startswith('{"debug"')
+    )
+    return result, json.loads(debug_line)["debug"]
+
+
+@pytest.mark.slow
+def test_bench_pico_json_contract():
+    out = _run_bench({
+        "SEED_STORY_BENCH_MODES": "2,1",
+        "SEED_STORY_BENCH_SEGMENTS": "2",
+    })
+    assert out.returncode == 0, out.stderr[-2000:]
+    result, debug = _parse(out)
     assert set(result) >= {"metric", "value", "unit", "vs_baseline"}
     assert result["unit"] == "segments/min"
     assert result["value"] > 0
     # the B=1 latency mode rides along when serving wins the headline
     assert "b1_segments_per_min" in result or result["metric"]
 
-    debug_line = next(
-        ln for ln in out.stderr.strip().splitlines()[::-1]
-        if ln.startswith('{"debug"')
-    )
-    debug = json.loads(debug_line)["debug"]
     assert {m["stories"] for m in debug["modes"]} == {1, 2}
     for m in debug["modes"]:
         assert m["segments"] > 0 and m["total_s"] > 0
     assert debug["setup_s"] is not None
     assert "import_s" in debug["setup_breakdown"]
-    assert any(k.startswith("warmup_b") for k in debug["setup_breakdown"])
+    assert any(k.startswith("warmup_") for k in debug["setup_breakdown"])
     assert "compile_cache_new_entries" in debug
+
+    # incremental emission: one headline per completed mode + the final
+    # re-emission — a driver kill between modes still finds a valid line
+    headlines = [json.loads(ln) for ln in out.stdout.strip().splitlines()]
+    assert len(headlines) == 3
+    assert all(h["unit"] == "segments/min" for h in headlines)
+
+
+@pytest.mark.slow
+def test_bench_sink_mode_and_wall_budget():
+    """The 'sink' mode token runs run_sink through the bench, and the
+    global wall budget is respected: total wall stays within budget plus
+    the import/exit slack even with multiple modes requested."""
+    budget = 150.0
+    t0 = time.time()
+    out = _run_bench({
+        "SEED_STORY_BENCH_MODES": "1,sink",
+        "SEED_STORY_BENCH_SEGMENTS": "3",
+        "SEED_STORY_BENCH_BUDGET_S": str(budget),
+    }, timeout=600)
+    wall = time.time() - t0
+    assert out.returncode == 0, out.stderr[-2000:]
+    result, debug = _parse(out)
+    assert result["value"] > 0
+    # budget respected: the bench must not blow its wall clock (slack for
+    # interpreter start + the import + final health/emission)
+    assert wall < budget + 90, wall
+    stories = [m["stories"] for m in debug["modes"]]
+    assert stories[0] == 1
+    # the sink mode either ran (segments > 0) or was skipped/truncated for
+    # budget — both honest outcomes carry an explicit marker
+    sink_modes = [m for m in debug["modes"] if m["stories"] == "sink"]
+    assert sink_modes, stories
+    m = sink_modes[0]
+    assert ("segments_per_min" in m) or ("error" in m), m
+    assert debug["budget_s"] == budget

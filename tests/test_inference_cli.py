@@ -119,6 +119,15 @@ def test_gen_george_cli_sequential(ws, tmp_path):
     _check_story(str(out / "val_0"))
 
 
+def test_gen_george_cli_sink(ws, tmp_path):
+    """--sink: sink-threaded generation (run_sink) through the product CLI
+    — KV cache carried across segments, speculative decode composed on top,
+    frames + text on disk like the plain flow."""
+    out = tmp_path / "out_sink"
+    _run(ws, out, ["--max_stories", "1", "--sink", "--speculate_k", "4"])
+    _check_story(str(out / "val_0"))
+
+
 def test_gen_george_cli_batched(ws, tmp_path):
     out = tmp_path / "out_batch"
     _run(ws, out, ["--max_stories", "2", "--batch_stories", "2"])

@@ -272,9 +272,116 @@ def test_story_pipeline_run_sink_25_segments():
                                  if s.image_features is not None)):
         np.testing.assert_array_equal(a.image_features, b.image_features)
 
-    # threaded-cache occupancy stays within the fixed capacity and stops
-    # growing once evictions keep pace (sink budget + live window)
+    # threaded-cache occupancy stays within the fixed capacity; under the
+    # reference img_head_tail policy the sink permanently retains ~24
+    # tokens per evicted image (12 around <img> + 12 around </img>), so
+    # late-story contexts grow LINEARLY at exactly that slope — assert the
+    # real bound, not saturation (sink_cache.py module docstring)
     assert max(s.context_tokens for s in segs) <= gcfg.cache_capacity
     late = [s.context_tokens for s in segs[-6:]]
-    per_seg = gcfg.max_new_tokens + 3 * acfg.num_img_in_tokens
-    assert max(late) - min(late) <= per_seg, late
+    slopes = [b - a for a, b in zip(late, late[1:])]
+    assert all(0 <= d <= 28 for d in slopes), late
+
+
+def test_story_pipeline_run_sink_speculative_matches_plain():
+    """speculate_k composes with the threaded sink cache (the commit blocks
+    land contiguously at the per-row cache length, so the committed prefix
+    the sink truncates to is always valid KV): same story byte for byte."""
+    acfg = AgentConfig.tiny()
+    agent = ContinuousLVLM(acfg)
+    tok = TinyTokenizer()
+    seq, n = 64, 1
+    init_args = dict(
+        input_ids=jnp.ones((1, seq), jnp.int32),
+        attention_mask=jnp.ones((1, seq), jnp.int32),
+        labels=jnp.zeros((1, seq), jnp.int32),
+        image_embeds=jnp.zeros((n, acfg.num_vit_tokens, acfg.vit_dim)),
+        embeds_gen_mask=jnp.ones((n,), bool),
+        embeds_cmp_mask=jnp.ones((n,), bool),
+        ids_gen_mask=jnp.zeros((1, seq), bool).at[0, 10:19].set(True),
+        ids_cmp_mask=jnp.zeros((1, seq), bool).at[0, 30:34].set(True),
+    )
+    params = agent.init(jax.random.PRNGKey(7), **init_args)["params"]
+
+    def gcfg(spec):
+        return GenerateConfig(
+            max_new_tokens=24,
+            num_img_gen_tokens=acfg.num_img_out_tokens,
+            cache_capacity=1024,
+            prompt_bucket=64,
+            force_boi_at=8,
+            max_context_images=8,
+            return_cache=True,
+            speculate_k=spec,
+        )
+
+    def visual_encode(pixels):
+        return np.zeros((1, acfg.num_vit_tokens, acfg.vit_dim), np.float32)
+
+    def mk(spec):
+        return StoryGenerationPipeline(
+            tok, StoryGenerator(agent, params, gcfg(spec)), visual_encode,
+            None,
+            StoryPipelineConfig(story_len=10, window_size=4,
+                                num_img_in_tokens=acfg.num_img_in_tokens),
+        )
+
+    start = np.zeros((1, 3, 8, 8), np.float32)
+    plain = list(mk(0).run_sink(start, "a long story"))
+    spec = list(mk(4).run_sink(start, "a long story"))
+    assert [s.text for s in plain] == [s.text for s in spec]
+    for a, b in zip(plain, spec):
+        assert (a.image_features is None) == (b.image_features is None)
+        if a.image_features is not None:
+            np.testing.assert_allclose(
+                np.asarray(a.image_features, np.float32),
+                np.asarray(b.image_features, np.float32),
+                rtol=2e-2, atol=2e-2,
+            )
+
+
+def test_story_pipeline_run_sink_bounded_sink():
+    """sink_max_tokens (beyond-reference knob) caps sink growth: the same
+    25-segment story saturates — late contexts stop growing — and story
+    length becomes truly capacity-bounded."""
+    acfg = AgentConfig.tiny()
+    agent = ContinuousLVLM(acfg)
+    tok = TinyTokenizer()
+    seq, n = 64, 1
+    init_args = dict(
+        input_ids=jnp.ones((1, seq), jnp.int32),
+        attention_mask=jnp.ones((1, seq), jnp.int32),
+        labels=jnp.zeros((1, seq), jnp.int32),
+        image_embeds=jnp.zeros((n, acfg.num_vit_tokens, acfg.vit_dim)),
+        embeds_gen_mask=jnp.ones((n,), bool),
+        embeds_cmp_mask=jnp.ones((n,), bool),
+        ids_gen_mask=jnp.zeros((1, seq), bool).at[0, 10:19].set(True),
+        ids_cmp_mask=jnp.zeros((1, seq), bool).at[0, 30:34].set(True),
+    )
+    params = agent.init(jax.random.PRNGKey(7), **init_args)["params"]
+    gcfg = GenerateConfig(
+        max_new_tokens=24,
+        num_img_gen_tokens=acfg.num_img_out_tokens,
+        cache_capacity=1024,
+        prompt_bucket=64,
+        force_boi_at=8,
+        max_context_images=8,
+        return_cache=True,
+    )
+
+    def visual_encode(pixels):
+        return np.zeros((1, acfg.num_vit_tokens, acfg.vit_dim), np.float32)
+
+    pipe = StoryGenerationPipeline(
+        tok, StoryGenerator(agent, params, gcfg), visual_encode, None,
+        StoryPipelineConfig(story_len=25, window_size=8,
+                            num_img_in_tokens=acfg.num_img_in_tokens,
+                            sink_max_tokens=100),
+    )
+    segs = list(pipe.run_sink(np.zeros((1, 3, 8, 8), np.float32),
+                              "a long story"))
+    with_feats = [s for s in segs if s.image_features is not None]
+    assert len(with_feats) == 24, len(segs)
+    # strict saturation: once the cap engages, per-segment context is flat
+    late = [s.context_tokens for s in segs[-6:]]
+    assert max(late) - min(late) == 0, late

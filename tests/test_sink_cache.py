@@ -81,6 +81,36 @@ def test_eviction_retained_set_matches_reference_policy():
     assert mgr.sink_len == new_sink_len
 
 
+def test_eviction_max_sink_drops_oldest_windows():
+    """max_sink cap: once the sink exceeds the cap, the OLDEST per-image
+    windows are dropped; the first-4 StreamingLLM block always survives."""
+    cfg = LlamaConfig.tiny()
+    capacity = 256
+    mgr = SinkKVCacheManager(capacity=capacity, max_sink=40)
+
+    live_len = 100
+    cache = _position_coded_cache(cfg, capacity, live_len)
+    # eviction 1: sink = 4 first + 24 window = 28 (under the cap)
+    cache, dropped = mgr.evict_image_span(cache, 20, 30, live_len)
+    assert mgr.sink_len == 28
+    first4 = np.asarray(cache.k[0][0, 0, :4, 0]).astype(int).tolist()
+    assert first4 == [0, 1, 2, 3]
+    win1 = np.asarray(cache.k[0][0, 0, 4:28, 0]).astype(int).tolist()
+
+    # eviction 2: 28 + 24 = 52 > 40 -> the eviction-1 window (24) drops,
+    # leaving 4 first + the NEW 24-token window = 28
+    live_len2 = live_len - dropped
+    cache, dropped2 = mgr.evict_image_span(cache, 12, 22, live_len2)
+    assert mgr.sink_len == 28
+    got_first4 = np.asarray(cache.k[0][0, 0, :4, 0]).astype(int).tolist()
+    assert got_first4 == [0, 1, 2, 3]
+    win2 = np.asarray(cache.k[0][0, 0, 4:28, 0]).astype(int).tolist()
+    assert win2 != win1  # the retained window is the NEW one
+    # new windows come from the live region, which starts at original
+    # position 31 (eviction 1 dropped [0, 30])
+    assert all(w >= 31 for w in win2)
+
+
 def test_vis_pipeline_with_sink_eviction():
     acfg = AgentConfig.tiny()
     agent = ContinuousLVLM(acfg)
