@@ -313,6 +313,12 @@ class CrossAttention(nn.Module):
         v = QDense(inner, use_bias=False, dtype=self.dtype,
                      param_dtype=self.param_dtype, quantize=self.quantize,
                      kernel_init=_init(("embed_kv", "heads")), name="to_v")(context)
+        # NB round 5 measured these transposes as ~free: a kernel variant
+        # reading the (B, S, H, D) projection layout directly (whole-head
+        # blocks + per-head loop) ran 2.2x SLOWER than transpose+kernel
+        # (5.47 vs 2.48 ms at the S=4096 site) — XLA fuses the layout ops,
+        # and 2.48 ms including them already sits at the isolated-kernel
+        # ceiling. PERF.md "SDXL attention: bshd falsification".
         q = q.reshape(b, lq, self.heads, self.dim_head).transpose(0, 2, 1, 3)
         k = k.reshape(b, lk, self.heads, self.dim_head).transpose(0, 2, 1, 3)
         v = v.reshape(b, lk, self.heads, self.dim_head).transpose(0, 2, 1, 3)
