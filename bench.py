@@ -578,23 +578,17 @@ def main():
               file=sys.stderr, flush=True)
 
     t0 = time.time()
-    # kernel gate (compiled-Pallas parity on this chip): ~6 programs. On a
-    # WARM cache it costs seconds; on a COLD cache it is ~6 remote compiles
-    # (30-300 s each) the budget cannot absorb — skip it (annotated) and
-    # let the story programs (whose outputs the suite pins functionally)
-    # carry the run. The gate still runs on every warm-cache invocation.
-    gate_skipped = cache_before == 0 and time_left() < 1500
-    if gate_skipped:
-        phase("kernel gate SKIPPED (cold compile cache + tight budget)")
-    else:
-        phase("kernel gate (compiled-Pallas parity on this chip)")
-        kernel_gate()
-
     # chip-health gate: never time in a degraded tunnel window (round-3
     # lesson: BENCH_r03 was taxed ~2.5% by one; a 10x window would have
-    # produced a 0.5 seg/min artifact with nothing flagging it)
+    # produced a 0.5 seg/min artifact with nothing flagging it). The
+    # kernel gate (compiled-Pallas parity, ~6 programs) runs AFTER the
+    # first headline is out: it is a correctness sentinel, not a timing
+    # guard — cold it costs ~6 remote compiles (BENCH_r04 burned 591 s on
+    # it before a single timed segment) and its failure mode is flagged
+    # output, not polluted timing.
     health_pre, healthy = health_gate(deadline)
     breakdown["gates_s"] = round(time.time() - t0, 1)
+    gate_status = "pending"
 
     int8 = (
         os.environ.get("SEED_STORY_BENCH_INT8", "1") == "1" and preset == "full"
@@ -744,8 +738,8 @@ def main():
             result["methodology"] = best["methodology"]
         if "truncated_at" in best:
             result["truncated_at"] = best["truncated_at"]
-        if gate_skipped:
-            result["kernel_gate"] = "skipped_cold_budget"
+        if gate_status != "passed":
+            result["kernel_gate"] = gate_status
         if healthy is False or (health_post == health_post
                                 and health_post < HEALTH_MIN_TFS):
             result["health_degraded"] = True
@@ -848,9 +842,22 @@ def main():
         modes.append(m)
         emit()
 
+    # kernel gate after the headline exists: parity failure FLAGS the
+    # emitted number (kernel_gate: failed) rather than timing dying cold
+    if time_left() > 100 or cache_before > 0:
+        phase("kernel gate (compiled-Pallas parity on this chip)")
+        try:
+            kernel_gate()
+            gate_status = "passed"
+        except SystemExit as e:
+            print(f"bench: {e}", file=sys.stderr, flush=True)
+            gate_status = "FAILED"
+    else:
+        gate_status = "skipped_budget"
+
     health_post = measure_health()
     # final emission: the LAST stdout line is the official headline (with
-    # the post-run health annotation folded in)
+    # the post-run health + kernel-gate annotations folded in)
     if not emit(final=True):
         raise SystemExit(f"bench: every mode failed: "
                          f"{[{k: v for k, v in m.items() if k != 'feats'} for m in modes]}")

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 from typing import Any, Optional
 
 import jax
@@ -111,7 +112,16 @@ class SDXLImagePipeline:
             )
             return pixels  # (B, H, W, 3) in [-1, 1]
 
-        self._jitted = jax.jit(run)
+        # opt-in per-program XLA compiler options (experimentation knob:
+        # client-side XLA_FLAGS can't carry TPU-backend flags through the
+        # remote-compile tunnel, but jit compiler_options are proto-backed
+        # and forwarded). Format: "key=val,key=val".
+        opts = os.environ.get("SEED_STORY_SDXL_XLA_OPTS")
+        compiler_options = None
+        if opts:
+            compiler_options = dict(kv.split("=", 1)
+                                    for kv in opts.split(",") if kv)
+        self._jitted = jax.jit(run, compiler_options=compiler_options)
 
     def generate(
         self,
