@@ -72,6 +72,60 @@ def test_bench_pico_json_contract():
     assert all(h["unit"] == "segments/min" for h in headlines)
 
 
+def _run_py(code, timeout=30):
+    env = dict(os.environ)
+    env["PYTHONPATH"] = ""  # bypass the axon sitecustomize hook
+    return subprocess.run(
+        [sys.executable, "-c", code], cwd=REPO, env=env,
+        capture_output=True, text=True, timeout=timeout,
+    )
+
+
+def test_watchdog_reemits_best_headline_and_exits_zero():
+    """A phase hang past budget+grace must still leave a parseable last
+    stdout line and rc=0 (the BENCH_r04 failure mode: rc=124, no output).
+    Simulated: arm the watchdog with a stored headline, then hang."""
+    t0 = time.time()
+    out = _run_py(
+        "import json, time, bench\n"
+        "bench._WATCHDOG['headline'] = json.dumps("
+        "    {'value': 1.23, 'unit': 'segments/min', 'watchdog_fired': True})\n"
+        "bench.arm_watchdog(time.time() + 1.0)\n"
+        "time.sleep(60)\n"  # the 'hung phase' — watchdog must preempt it
+    )
+    wall = time.time() - t0
+    assert out.returncode == 0, (out.returncode, out.stderr[-500:])
+    assert wall < 25, wall
+    last = json.loads(out.stdout.strip().splitlines()[-1])
+    assert last["watchdog_fired"] is True and last["value"] == 1.23
+    assert "WATCHDOG fired" in out.stderr
+
+
+def test_watchdog_no_measurement_is_an_honest_error_line():
+    out = _run_py(
+        "import time, bench\n"
+        "bench.arm_watchdog(time.time() + 1.0)\n"
+        "time.sleep(60)\n"
+    )
+    assert out.returncode == 0
+    last = json.loads(out.stdout.strip().splitlines()[-1])
+    assert last["value"] is None
+    assert last["error"] == "watchdog_timeout_no_measurement"
+
+
+def test_watchdog_cancelled_after_done_stays_silent():
+    out = _run_py(
+        "import time, bench\n"
+        "t = bench.arm_watchdog(time.time() + 0.5)\n"
+        "bench._WATCHDOG['done'] = True\n"
+        "time.sleep(1.5)\n"
+        "print('clean-exit')\n"
+    )
+    assert out.returncode == 0
+    assert out.stdout.strip().splitlines()[-1] == "clean-exit"
+    assert "WATCHDOG" not in out.stderr
+
+
 @pytest.mark.slow
 def test_bench_sink_mode_and_wall_budget():
     """The 'sink' mode token runs run_sink through the bench, and the
