@@ -23,6 +23,13 @@ DRIVER-PROOFING (round 5 — BENCH_r04 died rc=124 before emitting a line):
     compiles eat the warmup, the headline falls back to the median of
     trailing per-segment times (annotated "steady_state_median") so
     compile stalls never pollute the number.
+  * Warmup budget planner (warmup_must_stop): the warmup story yields the
+    floor the moment the remaining budget can no longer fund
+    MIN_TIMED_SEGMENTS timed segments at the observed rate — the timed
+    story (and its median fallback) always gets enough samples, even in
+    a slow-load tunnel window where setup alone eats most of the budget
+    (observed: the old rule left ONE 90 s timed segment => a 0.66
+    headline artifact).
   * Health-gate sleeps are capped against the remaining budget.
   * Last-resort WATCHDOG: a daemon timer fires at budget +
     SEED_STORY_BENCH_WATCHDOG_GRACE_S (default 90 s) and hard-exits 0
@@ -177,6 +184,37 @@ def measure_health():
 HEALTH_MIN_TFS = 40.0  # under this the tunnel/chip is in a degraded window
 
 FINALIZE_RESERVE_S = 40.0  # post-story health probe + JSON emission
+
+# The timed story must get at least this many segments: the
+# steady-state-median fallback needs >=3 per-segment walls and medians
+# the trailing half, so 5 leaves 2-3 compile-free samples even when the
+# first timed segments still hit cold buckets.
+MIN_TIMED_SEGMENTS = 5
+
+# Interleaved timed segments cost ~2.4x a warmup segment (warmup skips
+# the de-tokenizer; SDXL is ~57% of flagship segment latency — PERF.md —
+# and degraded windows slow decode and SDXL alike).
+DETOK_SEGMENT_FACTOR = 2.4
+
+
+def warmup_must_stop(time_left_s, warmup_per_s, detok_enabled):
+    """Budget planner for the warmup story: stop warming the moment the
+    remaining budget can no longer fund MIN_TIMED_SEGMENTS timed segments
+    (estimated from the observed warmup per-segment rate) plus the
+    finalize reserve.
+
+    Rehearsal lesson (round 5): in a slow-load tunnel window the old rule
+    (keep warming until ~4 warmup segments of budget remain) let an
+    850 s setup+warmup squeeze the timed story to ONE segment — whose
+    wall still contained compile stalls — and the honest headline
+    collapsed to 0.66 seg/min. Reserving timed segments instead of warmup
+    segments keeps the steady-state-median fallback viable no matter how
+    degraded the window is."""
+    est_timed_per = warmup_per_s * (DETOK_SEGMENT_FACTOR if detok_enabled
+                                    else 1.0)
+    return time_left_s < max(
+        150.0, MIN_TIMED_SEGMENTS * est_timed_per + FINALIZE_RESERVE_S
+    )
 
 
 def health_gate(deadline=None):
@@ -452,7 +490,7 @@ def run_mode(agent, tok, params, acfg, preset, max_new, n_segments, window,
         warmup_done += n_new
         elapsed = time.perf_counter() - t0
         per = elapsed / max(warmup_done, 1)
-        if time_left() < max(150.0, 4 * per + FINALIZE_RESERVE_S):
+        if warmup_must_stop(time_left(), per, detokenize is not None):
             warmup_truncated = warmup_done < warm_target * max(n_stories, 1)
             break
     warmup_s = time.perf_counter() - t0
@@ -493,6 +531,13 @@ def run_mode(agent, tok, params, acfg, preset, max_new, n_segments, window,
         tail = seg_walls[len(seg_walls) // 2:]
         result["segments_per_min"] = round(60.0 / float(np.median(tail)), 2)
         result["methodology"] = "steady_state_median"
+        result["warmup_truncated"] = True
+    elif warmup_truncated and len(seg_walls) == 2:
+        # too few samples to median: the faster of the two segments is
+        # the least compile-polluted — still an UNDERestimate of the
+        # steady-state rate (conservative direction), flagged as such
+        result["segments_per_min"] = round(60.0 / float(min(seg_walls)), 2)
+        result["methodology"] = "min_seg_wall_low_confidence"
         result["warmup_truncated"] = True
     else:
         result["segments_per_min"] = round(n_done / total_s * 60.0, 2)

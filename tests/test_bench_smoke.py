@@ -126,6 +126,30 @@ def test_watchdog_cancelled_after_done_stays_silent():
     assert "WATCHDOG" not in out.stderr
 
 
+def test_warmup_budget_planner_reserves_timed_segments():
+    """warmup_must_stop: warming must yield the floor while the budget can
+    still fund MIN_TIMED_SEGMENTS timed segments (est. from the warmup
+    rate x the detok factor) — the round-5 rehearsal artifact was a
+    850 s setup+warmup leaving ONE 90 s timed segment (0.66 headline)."""
+    import bench
+
+    # healthy warm-cache window: ~5.5 s warmup segments, plenty of budget
+    # left -> keep warming (the full warm_target should complete)
+    assert not bench.warmup_must_stop(700.0, 5.5, detok_enabled=True)
+    # the rehearsal's degraded window: ~33 s/segment observed in warmup.
+    # 5 timed segments cost 5 x 2.4 x 33 + 40 reserve = 436 s. The old
+    # rule kept warming down to 172 s left (4*33+40) — the planner stops
+    # as soon as the remaining budget dips under the timed-story cost
+    assert bench.warmup_must_stop(430.0, 33.0, detok_enabled=True)
+    assert not bench.warmup_must_stop(445.0, 33.0, detok_enabled=True)
+    # two-phase (no detok inside the loop): timed ~= warmup rate
+    assert not bench.warmup_must_stop(430.0, 33.0, detok_enabled=False)
+    assert bench.warmup_must_stop(200.0, 33.0, detok_enabled=False)
+    # tiny segments: the 150 s floor still applies
+    assert bench.warmup_must_stop(140.0, 0.5, detok_enabled=True)
+    assert not bench.warmup_must_stop(160.0, 0.5, detok_enabled=True)
+
+
 @pytest.mark.slow
 def test_bench_sink_mode_and_wall_budget():
     """The 'sink' mode token runs run_sink through the bench, and the
