@@ -197,6 +197,27 @@ MIN_TIMED_SEGMENTS = 5
 DETOK_SEGMENT_FACTOR = 2.4
 
 
+def retry_transient_oom(fn, what, time_left, sleep_s=45.0):
+    """The tunnel worker can hold a just-exited process's HBM briefly: the
+    first big allocation after another big TPU job may hit
+    RESOURCE_EXHAUSTED at a size that plainly fits (CLAUDE.md gotcha; this
+    killed a round-5 rehearsal rc=1 at SDXL init). Retry once after a
+    pause before treating it as real — unless the budget can't afford the
+    pause."""
+    try:
+        return fn()
+    except Exception as e:  # jax wraps the runtime error; match the message
+        if ("RESOURCE_EXHAUSTED" not in str(e)
+                or time_left() < 2 * sleep_s + FINALIZE_RESERVE_S):
+            raise
+        print(f"bench: transient RESOURCE_EXHAUSTED during {what} "
+              "(tunnel worker holding a dead process's HBM?) — "
+              f"retrying once in {sleep_s:.0f}s", file=sys.stderr, flush=True)
+        gc.collect()
+        time.sleep(sleep_s)
+        return fn()
+
+
 def warmup_must_stop(time_left_s, warmup_per_s, detok_enabled):
     """Budget planner for the warmup story: stop warming the moment the
     remaining budget can no longer fund MIN_TIMED_SEGMENTS timed segments
@@ -755,7 +776,9 @@ def main():
                                    for m in mode_list):
         t0 = time.time()
         phase("building SDXL pipe + warmup image")
-        pipe, neg = build_sdxl_pipe(acfg, sdxl_steps, sdxl_int8)
+        pipe, neg = retry_transient_oom(
+            lambda: build_sdxl_pipe(acfg, sdxl_steps, sdxl_int8),
+            "SDXL init", time_left)
         breakdown["sdxl_init_s"] = round(time.time() - t0, 1)
         # one warmup image compiles the sampling program (detok programs
         # don't depend on story state — the warmup story skips them)
@@ -775,7 +798,8 @@ def main():
 
     t0 = time.time()
     phase("building agent + params (shared across modes)")
-    agent, tok, params = build_agent(preset, acfg)
+    agent, tok, params = retry_transient_oom(
+        lambda: build_agent(preset, acfg), "agent init", time_left)
     jax.block_until_ready(params)
     breakdown["agent_init_s"] = round(time.time() - t0, 1)
 

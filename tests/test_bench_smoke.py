@@ -150,6 +150,50 @@ def test_warmup_budget_planner_reserves_timed_segments():
     assert not bench.warmup_must_stop(160.0, 0.5, detok_enabled=True)
 
 
+def test_retry_transient_oom_retries_once_then_raises():
+    """RESOURCE_EXHAUSTED right after another big TPU job is usually the
+    tunnel worker briefly holding the dead process's HBM (a round-5
+    rehearsal died rc=1 at SDXL init this way): retry once, budget
+    permitting; anything else propagates immediately."""
+    import bench
+
+    calls = []
+
+    def flaky():
+        calls.append(1)
+        if len(calls) == 1:
+            raise RuntimeError("RESOURCE_EXHAUSTED: TPU backend error")
+        return "ok"
+
+    assert bench.retry_transient_oom(
+        flaky, "t", lambda: 1e9, sleep_s=0.01) == "ok"
+    assert len(calls) == 2
+
+    # a persistent OOM raises on the second attempt
+    def always():
+        raise RuntimeError("RESOURCE_EXHAUSTED: TPU backend error")
+    with pytest.raises(RuntimeError, match="RESOURCE_EXHAUSTED"):
+        bench.retry_transient_oom(always, "t", lambda: 1e9, sleep_s=0.01)
+
+    # non-OOM errors propagate without a retry
+    calls.clear()
+
+    def other():
+        calls.append(1)
+        raise ValueError("shape mismatch")
+    with pytest.raises(ValueError):
+        bench.retry_transient_oom(other, "t", lambda: 1e9, sleep_s=0.01)
+    assert len(calls) == 1
+
+    # no budget for the pause: the first error propagates
+    calls.clear()
+    with pytest.raises(RuntimeError):
+        bench.retry_transient_oom(
+            lambda: (calls.append(1), always())[1], "t",
+            lambda: 10.0, sleep_s=45.0)
+    assert len(calls) == 1
+
+
 @pytest.mark.slow
 def test_bench_sink_mode_and_wall_budget():
     """The 'sink' mode token runs run_sink through the bench, and the
