@@ -67,7 +67,21 @@ def load_llama_tokenizer(pretrained_model_name_or_path: str):
             pretrained_model_name_or_path, use_fast=True
         )
     else:
-        tok = LlamaTokenizer.from_pretrained(pretrained_model_name_or_path)
+        try:
+            tok = LlamaTokenizer.from_pretrained(pretrained_model_name_or_path)
+        except ImportError:
+            # transformers' slow LlamaTokenizer hard-requires the
+            # sentencepiece C++ library; fall back to the pure-Python
+            # implementation (data/spm.py) when only the .model asset is
+            # available — same vocab layout, same added-token id rule.
+            from .spm import SentencePieceTokenizer
+
+            model_file = pretrained_model_name_or_path
+            if os.path.isdir(model_file):
+                model_file = os.path.join(model_file, "tokenizer.model")
+            if not os.path.exists(model_file):
+                raise
+            tok = SentencePieceTokenizer(model_file)
     if len(tok) < MULTIMODAL_VOCAB_SIZE:
         tok.add_tokens(special_tokens())
     assert len(tok) == MULTIMODAL_VOCAB_SIZE, len(tok)
