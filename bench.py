@@ -171,6 +171,11 @@ def measure_health():
 
     o = mm(x, w1, w2)
     jax.block_until_ready(o)
+    # Warm the host-read program too: jnp.sum is its own compiled program,
+    # and on a rotated backend its remote compile lands INSIDE the first
+    # timed iteration (measured 59.5 s wall in probe_gate_cost.py) — the
+    # best-of-3 hides it from the health number but not from gates_s.
+    _ = float(jnp.sum(o).astype(jnp.float32))
     best = 1e9
     for _ in range(3):
         t0 = time.perf_counter()

@@ -23,6 +23,9 @@ def mm(x, w1, w2):
                        preferred_element_type=jnp.float32).astype(jnp.bfloat16)
     return jax.lax.fori_loop(0, 50, body, x)
 o = mm(x, w1, w2); jax.block_until_ready(o)
+# warm the jnp.sum host-read program too — on a rotated backend its remote
+# compile otherwise lands inside the first timed iteration (~60 s wall)
+_ = float(jnp.sum(o).astype(jnp.float32))
 best = 1e9
 for _ in range(3):
     t0 = time.perf_counter(); o = mm(x, w1, w2)
